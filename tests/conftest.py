@@ -1,0 +1,9 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so
+multi-chip sharding tests run without TPU hardware."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
