@@ -1,0 +1,55 @@
+"""Top-level encoder: search + entropy + bitstream assembly.
+
+Produces Annex-B VVC streams (VPS/SPS/PPS, then per picture PH + one
+I-slice), mirroring the reference's main loop (main.rs:117-403). The
+partition/mode search is pluggable: the scalar golden search
+(spec.encoder.ScalarEncoder) or the TPU wavefront search
+(search.wavefront) both produce CtNode decision trees.
+"""
+import numpy as np
+
+from .bitstream import nal
+from .bitstream.bitio import BitWriter
+from .bitstream.headers import write_pps, write_ph, write_sh, write_sps, write_vps
+from .entropy.cabac import CabacEncoder
+from .entropy.syntax import SliceSyntax
+from .spec.encoder import ScalarEncoder
+
+
+class Encoder:
+    def __init__(self, cfg, search=None):
+        self.cfg = cfg.validate()
+        self.search = search or ScalarEncoder(cfg)
+
+    def encode(self, frames):
+        """frames: list of (Y, Cb, Cr) uint8 planes.
+
+        Returns (annexb_bytes, [reconstruction per frame]).
+        """
+        cfg = self.cfg
+        out = bytearray()
+        nal.write_nal(out, 1, nal.VPS_NUT, write_vps(cfg))
+        nal.write_nal(out, 9, nal.SPS_NUT, write_sps(cfg))
+        nal.write_nal(out, 9, nal.PPS_NUT, write_pps(cfg))
+        recons = []
+        for poc, planes in enumerate(frames):
+            nal.write_nal(out, 9, nal.PH_NUT, write_ph(cfg, poc))
+            trees, recon = self.search.encode_frame(planes)
+            rbsp = self.encode_slice(trees)
+            nal.write_nal(out, 9, nal.IDR_W_RADL, rbsp)
+            recons.append(tuple(p.astype(np.uint8) for p in recon))
+        return bytes(out), recons
+
+    def encode_slice(self, trees):
+        """Entropy-code one slice from per-CTU decision trees -> RBSP."""
+        cfg = self.cfg
+        w = BitWriter()
+        write_sh(w, cfg, cfg.qp)
+        cabac = CabacEncoder(w)
+        syn = SliceSyntax(cabac, cfg, 'enc')
+        n = len(trees)
+        for i, tree in enumerate(trees):
+            syn.code_ctu(tree, first_in_slice=(i == 0))
+            cabac.encode_terminate(1 if i == n - 1 else 0)
+        w.byte_align()
+        return w.bytes()

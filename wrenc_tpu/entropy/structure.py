@@ -1,0 +1,48 @@
+"""Coding-tree decision structures shared by search, entropy, and decoder.
+
+The RD search produces one `CtNode` tree per CTU; the entropy layer codes
+it; the decoder parses bitstreams back into the same structures and
+reconstructs from them.
+"""
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CuDecision:
+    x: int
+    y: int
+    log2: int            # luma block size log2
+    tree: str            # 'S' single, 'L' dual-tree luma, 'C' dual-tree chroma
+    luma_mode: int = 0
+    chroma_mode: int = 0  # actual chroma prediction mode (incl. 81..83 CCLM)
+    # stored quantized levels per component (the dequantizer's q form);
+    # None for inactive components
+    coeffs: list = field(default_factory=lambda: [None, None, None])
+
+
+@dataclass
+class CtNode:
+    x: int
+    y: int
+    log2: int
+    cqt_depth: int = 0
+    tree: str = 'S'
+    mode_type: str = 'ALL'   # 'ALL' | 'INTRA' (SCIPU)
+    split: bool = False
+    children: list = field(default_factory=list)
+    cu: CuDecision = None
+
+    @property
+    def size(self):
+        return 1 << self.log2
+
+
+def make_scipu(x, y):
+    """8x8 single-tree QT split -> 4 dual-tree-luma 4x4 + 1 chroma node."""
+    node = CtNode(x, y, 3, split=True)
+    half = 4
+    for i in range(4):
+        cx, cy = x + (i % 2) * half, y + (i // 2) * half
+        node.children.append(CtNode(cx, cy, 2, tree='L', mode_type='INTRA'))
+    node.children.append(CtNode(x, y, 3, tree='C', mode_type='INTRA'))
+    return node
