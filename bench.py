@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Benchmark: all-intra encode throughput (frames/s) on real hardware.
+
+Encodes synthetic CIF (352x288) frames at QP32 through the full pipeline
+(TPU wavefront search + commit + CABAC entropy + bitstream assembly) and
+prints ONE JSON line. Baseline: the reference encoder's ~1.0 fps on the
+same frame size/QP (BASELINE.md).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def synth_frames(n, w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        y = np.clip((np.sin(xx / 11 + i * 0.3) * 50
+                     + np.cos(yy / 7 - i * 0.2) * 40 + 128)
+                    + rng.integers(-10, 11, (h, w)), 0, 255).astype(np.uint8)
+        cb = (y[::2, ::2] // 2 + 64).astype(np.uint8)
+        cr = (200 - y[::2, ::2] // 2).astype(np.uint8)
+        frames.append((y, cb, cr))
+    return frames
+
+
+def main():
+    from wrenc_tpu.core.config import EncoderConfig
+    from wrenc_tpu.encoder import Encoder
+    from wrenc_tpu.search import WavefrontSearch
+
+    W, H, QP = 352, 288, 32
+    cfg = EncoderConfig(width=W, height=H, qp=QP)
+    enc = Encoder(cfg, search=WavefrontSearch(cfg))
+
+    n = 16
+    warm = synth_frames(n, W, H, seed=99)
+    enc.encode(warm)  # compile warmup (same batch shape as the timed run)
+
+    frames = synth_frames(n, W, H, seed=1)
+    t0 = time.perf_counter()
+    stream, recons = enc.encode(frames)
+    dt = time.perf_counter() - t0
+    fps = n / dt
+
+    baseline_fps = 1.0  # reference: ~1.0 fps bus CIF (BASELINE.md)
+    print(json.dumps({
+        "metric": "encode_fps_cif_qp32",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Golden tests: batched transforms + dep-quant kernels vs the spec model."""
+import numpy as np
+import pytest
+
+from wrenc_tpu.core.config import RateModelConfig
+from wrenc_tpu.kernels import quantize as kq
+from wrenc_tpu.kernels import transforms as kt
+from wrenc_tpu.spec import quant, transform
+
+
+@pytest.mark.parametrize("n", [4, 8, 16, 32])
+def test_forward_inverse_dct2_exact(n):
+    rng = np.random.default_rng(n)
+    res = rng.integers(-255, 256, size=(5, n, n)).astype(np.int32)
+    fwd = np.asarray(kt.forward_dct2(res))
+    inv = np.asarray(kt.inverse_dct2(fwd))
+    for i in range(5):
+        ref_f = transform.forward(res[i])
+        assert (fwd[i] == ref_f).all(), n
+        ref_i = transform.inverse(ref_f)
+        assert (inv[i] == ref_i).all(), n
+
+
+@pytest.mark.parametrize("n,qp", [(4, 32), (8, 27), (16, 37), (32, 32)])
+def test_greedy_depquant_matches_spec(n, qp):
+    rng = np.random.default_rng(n + qp)
+    rm = RateModelConfig()
+    log2 = n.bit_length() - 1
+    res = rng.integers(-180, 181, size=(6, n, n)).astype(np.int32)
+    t = np.stack([transform.forward(r) for r in res])
+    qpar = quant.derive_quant_params(qp, log2, log2, dep_quant=True,
+                                     transform_skip=False)
+    lam_dq = kq.lam_dq_table(rm, qp, trellis=False)
+    lv = kq.lv_table_device(rm, True, False)
+    q_kernel, rate = kq.greedy_depquant(t, qpar.ls, qpar.bd_shift, lam_dq,
+                                        log2, lv)
+    q_kernel = np.asarray(q_kernel)
+    dq = quant.DepQuantizer(rm)
+    for i in range(6):
+        ref = dq.quantize(t[i], qp, qpar, trellis=False)
+        assert (q_kernel[i] == ref).all(), (n, qp, i)
+
+
+@pytest.mark.parametrize("n,qp", [(4, 32), (8, 37), (16, 27)])
+def test_trellis_depquant_matches_spec_cost(n, qp):
+    """Trellis kernel must achieve the same optimal objective as the numpy
+    Viterbi (tie-breaks may differ; cost must not)."""
+    rng = np.random.default_rng(n * 3 + qp)
+    rm = RateModelConfig()
+    log2 = n.bit_length() - 1
+    res = rng.integers(-120, 121, size=(4, n, n)).astype(np.int32)
+    t = np.stack([transform.forward(r) for r in res])
+    qpar = quant.derive_quant_params(qp, log2, log2, dep_quant=True,
+                                     transform_skip=False)
+    lam_dq = kq.lam_dq_table(rm, qp, trellis=True)
+    q_kernel = np.asarray(kq.trellis_depquant(t, qpar.ls, qpar.bd_shift,
+                                              lam_dq, log2))
+    dq = quant.DepQuantizer(rm)
+
+    def objective(q, tt):
+        lam = dq._lambda(qp, True)
+        a, states = quant.abs_levels_from_q(q, log2, log2)
+        scan = quant.full_scan(log2, log2)[::-1]
+        total = 0
+        trailing = True
+        for sx, sy in scan:
+            av, qv = int(a[sy, sx]), int(q[sy, sx])
+            dqv = (qv * qpar.ls + qpar.bd_offset) >> qpar.bd_shift
+            dist = abs(int(tt[sy, sx]) - dqv)
+            bits = 0 if (av == 0 and trailing) else av + 1
+            total += 128 * dist + lam * dq._rate(bits)
+            trailing = trailing and av == 0
+        if trailing:
+            total -= lam * dq._rate(1)
+        return total
+
+    for i in range(4):
+        ref = dq.quantize(t[i], qp, qpar, trellis=True)
+        ok = objective(q_kernel[i], t[i])
+        ro = objective(ref, t[i])
+        assert ok == ro, (n, qp, i, ok, ro)
+        # stored levels must be parity-consistent for the entropy coder
+        a, states = quant.abs_levels_from_q(q_kernel[i], log2, log2)
+        delta = (states > 1).astype(np.int32)
+        mag = np.where(a > 0, 2 * a - delta, 0)
+        assert (np.abs(q_kernel[i]) == mag).all()
+
+
+def test_dequantize_kernel():
+    rng = np.random.default_rng(0)
+    q = rng.integers(-100, 101, size=(3, 8, 8)).astype(np.int16)
+    qpar = quant.derive_quant_params(30, 3, 3, dep_quant=True,
+                                     transform_skip=False)
+    d = np.asarray(kq.dequantize(q, qpar.ls, qpar.bd_shift))
+    for i in range(3):
+        assert (d[i] == quant.dequantize(q[i], qpar)).all()

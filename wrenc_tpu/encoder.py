@@ -17,9 +17,13 @@ from .spec.encoder import ScalarEncoder
 
 
 class Encoder:
-    def __init__(self, cfg, search=None):
+    def __init__(self, cfg, search=None, use_native=None):
         self.cfg = cfg.validate()
         self.search = search or ScalarEncoder(cfg)
+        if use_native is None:
+            from .entropy import native
+            use_native = native.available()
+        self.use_native = use_native
 
     def encode(self, frames):
         """frames: list of (Y, Cb, Cr) uint8 planes.
@@ -32,9 +36,12 @@ class Encoder:
         nal.write_nal(out, 9, nal.SPS_NUT, write_sps(cfg))
         nal.write_nal(out, 9, nal.PPS_NUT, write_pps(cfg))
         recons = []
-        for poc, planes in enumerate(frames):
+        if hasattr(self.search, "encode_frames"):
+            results = self.search.encode_frames(frames)
+        else:
+            results = [self.search.encode_frame(p) for p in frames]
+        for poc, (trees, recon) in enumerate(results):
             nal.write_nal(out, 9, nal.PH_NUT, write_ph(cfg, poc))
-            trees, recon = self.search.encode_frame(planes)
             rbsp = self.encode_slice(trees)
             nal.write_nal(out, 9, nal.IDR_W_RADL, rbsp)
             recons.append(tuple(p.astype(np.uint8) for p in recon))
@@ -45,6 +52,9 @@ class Encoder:
         cfg = self.cfg
         w = BitWriter()
         write_sh(w, cfg, cfg.qp)
+        if self.use_native:
+            from .entropy import native
+            return w.bytes() + native.encode_slice_native(cfg, trees, cfg.qp)
         cabac = CabacEncoder(w)
         syn = SliceSyntax(cabac, cfg, 'enc')
         n = len(trees)

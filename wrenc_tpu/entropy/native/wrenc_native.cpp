@@ -1,0 +1,836 @@
+// wrenc-tpu native runtime: batched dependent-quantization trellis and the
+// CABAC slice entropy coder.
+//
+// This is the framework's native component — the TPU-native counterpart of
+// the reference encoder's hot sequential code (bool_coder.rs /
+// cabac_contexts.rs / ctu_encoder.rs residual+syntax path, quantizer.rs
+// search_dq). The TPU produces decision tensors (modes, coefficients); this
+// library turns them into CABAC bits at native speed. Exposed via a C ABI
+// consumed with ctypes (no pybind11 in this image).
+//
+// Semantics mirror wrenc_tpu/entropy/{cabac,syntax}.py exactly (which are
+// golden-tested against round-trip decode); the Python implementations stay
+// as the readable reference and fallback.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+// ---------------------------------------------------------------- scans
+struct ScanTables {
+  // diag scan per log2 size (square), DC-first: (x,y) pairs
+  std::vector<int> scan_x[6], scan_y[6];
+  ScanTables() {
+    for (int lg = 0; lg <= 5; ++lg) {
+      int n = 1 << lg;
+      int sb = std::min(lg, 2);  // 4x4 sub-blocks (whole block when smaller)
+      int nsb = 1 << (lg - sb);
+      // sub-block diag order
+      auto diag = [](int w, int h, std::vector<int>& xs, std::vector<int>& ys) {
+        for (int d = 0; d < w + h - 1; ++d)
+          for (int y = std::min(d, h - 1); y >= 0; --y) {
+            int x = d - y;
+            if (x < w) { xs.push_back(x); ys.push_back(y); }
+          }
+      };
+      std::vector<int> sbx, sby, cx, cy;
+      diag(nsb, nsb, sbx, sby);
+      diag(1 << sb, 1 << sb, cx, cy);
+      for (size_t s = 0; s < sbx.size(); ++s)
+        for (size_t c = 0; c < cx.size(); ++c) {
+          scan_x[lg].push_back((sbx[s] << sb) + cx[c]);
+          scan_y[lg].push_back((sby[s] << sb) + cy[c]);
+        }
+    }
+  }
+};
+const ScanTables g_scan;
+
+const int kQStateTrans[4][2] = {{0, 2}, {2, 0}, {1, 3}, {3, 1}};
+
+}  // namespace
+
+// ------------------------------------------------------------------ trellis
+// Batched exact 8-state (q_state x trailing) Viterbi dependent quantizer.
+// t: B x n x n int32 (row major); lam_dq: 1024 int32; q_out: B x n x n int16.
+extern "C" void wrenc_trellis_quant(const int32_t* t, int B, int log2n,
+                                    int32_t ls, int32_t bd_shift,
+                                    const int32_t* lam_dq, int16_t* q_out) {
+  const int n = 1 << log2n;
+  const int P = n * n;
+  const int64_t bd_offset = (int64_t{1} << bd_shift) >> 1;
+  const auto& sx = g_scan.scan_x[log2n];
+  const auto& sy = g_scan.scan_y[log2n];
+  const int64_t BIG = int64_t{1} << 60;
+
+  std::vector<int8_t> bp_prev(P * 8);
+  std::vector<int32_t> bp_mag(P * 8);
+
+  for (int b = 0; b < B; ++b) {
+    const int32_t* tb = t + (size_t)b * P;
+    int16_t* qb = q_out + (size_t)b * P;
+    int64_t cost[8], ncost[8];
+    for (int s = 0; s < 8; ++s) cost[s] = BIG;
+    cost[1] = 0;  // q_state 0, trailing
+
+    for (int p = 0; p < P; ++p) {
+      // coding order: reverse scan
+      int idx = P - 1 - p;
+      int xc = sx[idx], yc = sy[idx];
+      int32_t tc = tb[yc * n + xc];
+      bool is_dc = (p == P - 1);
+      int64_t abs_tc = tc < 0 ? -(int64_t)tc : tc;
+      for (int s = 0; s < 8; ++s) ncost[s] = BIG;
+      int8_t* bpp = &bp_prev[p * 8];
+      int32_t* bpm = &bp_mag[p * 8];
+
+      for (int s = 0; s < 8; ++s) {
+        if (cost[s] >= BIG) continue;
+        int q_state = s >> 1;
+        bool trailing = s & 1;
+        int64_t delta = q_state > 1 ? 1 : 0;
+        int64_t s_ = (abs_tc << bd_shift) + (tc < 0 ? bd_offset : -bd_offset);
+        int64_t a0 = (s_ / ls + delta) / 2;
+        int kmax = tc == 0 ? 1 : 2;
+        for (int k = 0; k < kmax; ++k) {
+          int64_t a = tc == 0 ? 0 : a0 + k;
+          int64_t mag = a == 0 ? 0 : 2 * a - delta;
+          int64_t dq = (mag * ls + bd_offset) >> bd_shift;
+          int64_t dist = std::abs(abs_tc - dq);
+          int64_t bits = (a == 0 && trailing) ? 0 : a + 1;
+          if (bits > 1023) bits = 1023;
+          int64_t c = 128 * dist + lam_dq[bits];
+          if (is_dc && trailing && a == 0) c -= lam_dq[1];
+          int nstate = kQStateTrans[q_state][a & 1] * 2 +
+                       ((trailing && a == 0) ? 1 : 0);
+          int64_t tot = cost[s] + c;
+          if (tot < ncost[nstate]) {
+            ncost[nstate] = tot;
+            bpp[nstate] = (int8_t)s;
+            bpm[nstate] = (int32_t)(tc < 0 ? -mag : mag);
+          }
+        }
+      }
+      for (int s = 0; s < 8; ++s) cost[s] = ncost[s];
+    }
+    // backtrack
+    int state = 0;
+    int64_t best = cost[0];
+    for (int s = 1; s < 8; ++s)
+      if (cost[s] < best) { best = cost[s]; state = s; }
+    std::memset(qb, 0, sizeof(int16_t) * P);
+    for (int p = P - 1; p >= 0; --p) {
+      int idx = P - 1 - p;
+      int xc = sx[idx], yc = sy[idx];
+      qb[yc * n + xc] = (int16_t)bp_mag[p * 8 + state];
+      state = bp_prev[p * 8 + state];
+    }
+  }
+}
+
+// Batched greedy dependent quantizer (same candidates, no lookahead).
+extern "C" void wrenc_greedy_quant(const int32_t* t, int B, int log2n,
+                                   int32_t ls, int32_t bd_shift,
+                                   const int32_t* lam_dq, int16_t* q_out) {
+  const int n = 1 << log2n;
+  const int P = n * n;
+  const int64_t bd_offset = (int64_t{1} << bd_shift) >> 1;
+  const auto& sx = g_scan.scan_x[log2n];
+  const auto& sy = g_scan.scan_y[log2n];
+  for (int b = 0; b < B; ++b) {
+    const int32_t* tb = t + (size_t)b * P;
+    int16_t* qb = q_out + (size_t)b * P;
+    int q_state = 0;
+    bool trailing = true;
+    for (int p = 0; p < P; ++p) {
+      int idx = P - 1 - p;
+      int xc = sx[idx], yc = sy[idx];
+      int32_t tc = tb[yc * n + xc];
+      int64_t abs_tc = tc < 0 ? -(int64_t)tc : tc;
+      int64_t a, mag;
+      if (tc == 0) {
+        a = 0; mag = 0;
+      } else {
+        int64_t delta = q_state > 1 ? 1 : 0;
+        int64_t s_ = (abs_tc << bd_shift) + (tc < 0 ? bd_offset : -bd_offset);
+        int64_t a0 = (s_ / ls + delta) / 2;
+        int64_t bestc = 0; a = a0; mag = 0;
+        for (int k = 0; k < 2; ++k) {
+          int64_t ak = a0 + k;
+          int64_t mg = ak == 0 ? 0 : 2 * ak - delta;
+          int64_t dq = (mg * ls + bd_offset) >> bd_shift;
+          int64_t dist = std::abs(abs_tc - dq);
+          int64_t bits = (ak == 0 && trailing) ? 0 : ak + 1;
+          if (bits > 1023) bits = 1023;
+          int64_t c = 128 * dist + lam_dq[bits];
+          if (k == 0 || c < bestc) { bestc = c; a = ak; mag = mg; }
+        }
+      }
+      qb[yc * n + xc] = (int16_t)(tc < 0 ? -mag : mag);
+      trailing = trailing && a == 0;
+      q_state = kQStateTrans[q_state][a & 1];
+    }
+  }
+}
+
+// ================================================================== CABAC
+namespace {
+
+struct BitSink {
+  std::vector<uint8_t>* out;
+  uint32_t cur = 0;
+  int nbits = 0;
+  void bit(int b) {
+    cur = (cur << 1) | (b & 1);
+    if (++nbits == 8) { out->push_back((uint8_t)cur); cur = 0; nbits = 0; }
+  }
+  void align(int b = 0) { while (nbits) bit(b); }
+};
+
+struct Cabac {
+  // context state: two windows per context, per syntax element
+  // flat layout from Python (offsets per SE id)
+  std::vector<uint16_t> s0, s1;
+  std::vector<uint8_t> shift_idx;
+  std::vector<int> se_off;  // per SE id -> base index (-1 if none)
+
+  uint32_t range = 510, offset = 0;
+  bool first_bit = true;
+  int outstanding = 0;
+  BitSink* w = nullptr;
+
+  void init_engine() { range = 510; offset = 0; }
+
+  void put(int b) {
+    if (!first_bit) w->bit(b);
+    first_bit = false;
+    while (outstanding > 0) { w->bit(!b); --outstanding; }
+  }
+  void put_trailing(int b) {
+    w->bit(b);
+    while (outstanding > 0) { w->bit(!b); --outstanding; }
+  }
+  void renorm() {
+    while (range < 256) {
+      if (offset < 256) put(0);
+      else if (offset >= 512) { offset -= 512; put(1); }
+      else { offset -= 256; ++outstanding; }
+      range <<= 1; offset <<= 1;
+    }
+  }
+  void bin(int se, int inc, int b) {
+    int i = se_off[se] + inc;
+    uint32_t p_state = s1[i] + 16u * s0[i];
+    int val_mps = p_state >> 14;
+    uint32_t q = range >> 5;
+    uint32_t lps = ((q * ((val_mps == 0 ? p_state : 32767 - p_state) >> 9)) >> 1) + 4;
+    if (b == val_mps) range -= lps;
+    else { offset += range - lps; range = lps; }
+    renorm();
+    int sh = shift_idx[i];
+    int sh0 = (sh >> 2) + 2, sh1 = (sh & 3) + 3 + sh0;
+    s0[i] = (uint16_t)(s0[i] - (s0[i] >> sh0) + ((1023 * b) >> sh0));
+    s1[i] = (uint16_t)(s1[i] - (s1[i] >> sh1) + ((16383 * b) >> sh1));
+  }
+  void bypass(int b) {
+    offset <<= 1;
+    if (b) offset += range;
+    if (offset >= 1024) { put(1); offset -= 1024; }
+    else if (offset < 512) put(0);
+    else { offset -= 512; ++outstanding; }
+  }
+  void terminate(int b) {
+    range -= 2;
+    if (b) {
+      offset += range;
+      range = 2;
+      renorm();
+      put((offset >> 9) & 1);
+      uint32_t two = ((offset >> 7) & 3) | 1;
+      put_trailing((two >> 1) & 1);
+      put_trailing(two & 1);
+      first_bit = true;
+      outstanding = 0;
+    } else {
+      renorm();
+    }
+  }
+};
+
+// ----------------------------------------------------------- syntax state
+// SE ids (match core.tables.SE / the reference CabacContext enum)
+enum {
+  SE_SplitCuFlag = 16, SE_IntraLumaMpmFlag = 34, SE_IntraLumaNotPlanarFlag = 35,
+  SE_CclmModeFlag = 40, SE_CclmModeIdx = 41, SE_IntraChromaPredMode = 42,
+  SE_TuYCodedFlag = 87, SE_TuCbCodedFlag = 88, SE_TuCrCodedFlag = 89,
+  SE_CuQpDeltaAbs = 90, SE_TransformSkipFlag = 94,
+  SE_LastSigCoeffXPrefix = 96, SE_LastSigCoeffYPrefix = 97,
+  SE_SbCodedFlag = 100, SE_SigCoeffFlag = 101, SE_ParLevelFlag = 102,
+  SE_AbsLevelGtxFlag = 103,
+};
+
+const int kRiceParams[32] = {0,0,0,0,0,0,0,1,1,1,1,1,1,1,2,2,
+                             2,2,2,2,2,2,2,2,2,2,2,2,3,3,3,3};
+
+struct CuRec {
+  int32_t x, y, log2, tree;  // tree: 0=S 1=L 2=C
+  int32_t luma_mode, chroma_mode;
+  int64_t coeff_off[3];      // offsets into coeff buffer, -1 if absent
+};
+
+struct SliceCoder {
+  Cabac c;
+  int W = 0, H = 0, log2_ctu = 5, qp = 32;
+  bool dep_quant = true, transform_skip_enabled = true, cclm_enabled = true;
+  // maps at 4x4 granularity
+  std::vector<int32_t> mode_map;
+  std::vector<uint8_t> mode_set;
+  std::vector<int16_t> cbw_map, cbh_map;
+  bool cu_qp_delta_coded = false;
+  // per-TB scratch
+  int32_t pass1[32 * 32];
+  int32_t abs_lv[32 * 32];
+  int q_state = 0;
+  const int16_t* coeffs = nullptr;
+
+  int n4w() const { return W >> 2; }
+
+  // morton-based availability (matches spec/avail.py)
+  static uint64_t morton(int x, int y) {
+    uint64_t z = 0;
+    for (int b = 0; b < 16; ++b) {
+      z |= (uint64_t)((x >> b) & 1) << (2 * b);
+      z |= (uint64_t)((y >> b) & 1) << (2 * b + 1);
+    }
+    return z;
+  }
+  bool avail(int cx, int cy, int nx, int ny) const {
+    if (nx < 0 || ny < 0 || nx >= W || ny >= H) return false;
+    int ccx = cx >> log2_ctu, ccy = cy >> log2_ctu;
+    int ncx = nx >> log2_ctu, ncy = ny >> log2_ctu;
+    if (ncy > ccy) return false;
+    if (ncy < ccy) return true;
+    if (ncx > ccx) return false;
+    if (ncx < ccx) return true;
+    int m = (1 << log2_ctu) - 1;
+    return morton(nx & m, ny & m) < morton(cx & m, cy & m);
+  }
+
+  // ---------------- MPM (ctu.rs:1530 / syntax.py derive_mpm_list)
+  void mpm_list(int x, int y, int size, int out[5]) const {
+    int l = 0, a = 0;
+    int lx = x - 1, ly = y + size - 1;
+    if (x > 0 && mode_set[(ly >> 2) * n4w() + (lx >> 2)])
+      l = mode_map[(ly >> 2) * n4w() + (lx >> 2)];
+    int ax = x + size - 1, ay = y - 1;
+    int ctu_top = (y >> log2_ctu) << log2_ctu;
+    if (y > 0 && y - 1 >= ctu_top && mode_set[(ay >> 2) * n4w() + (ax >> 2)])
+      a = mode_map[(ay >> 2) * n4w() + (ax >> 2)];
+    auto fill = [&](int m0, int m1, int m2, int m3, int m4) {
+      out[0]=m0; out[1]=m1; out[2]=m2; out[3]=m3; out[4]=m4; };
+    if (l == a && l > 1) {
+      fill(l, 2+(l+61)%64, 2+(l-1)%64, 2+(l+60)%64, 2+l%64);
+    } else if (l != a && (l > 1 || a > 1)) {
+      int mn = std::min(l, a), mx = std::max(l, a);
+      if (mn > 1) {
+        int d = mx - mn;
+        if (d == 1) fill(l, a, 2+(mn+61)%64, 2+(mx-1)%64, 2+(mn+60)%64);
+        else if (d >= 62) fill(l, a, 2+(mn-1)%64, 2+(mx+61)%64, 2+mn%64);
+        else if (d == 2) fill(l, a, 2+(mn-1)%64, 2+(mn+61)%64, 2+(mx-1)%64);
+        else fill(l, a, 2+(mn+61)%64, 2+(mn-1)%64, 2+(mx+61)%64);
+      } else {
+        fill(mx, 2+(mx+61)%64, 2+(mx-1)%64, 2+(mx+60)%64, 2+mx%64);
+      }
+    } else {
+      fill(1, 50, 18, 46, 54);
+    }
+  }
+
+  // ---------------- coding tree / CU syntax
+  void code_luma_mode(const CuRec& cu) {
+    int size = 1 << cu.log2;
+    int cand[5];
+    mpm_list(cu.x, cu.y, size, cand);
+    int mode = cu.luma_mode;
+    if (mode == 0) {
+      c.bin(SE_IntraLumaMpmFlag, 0, 1);
+      c.bin(SE_IntraLumaNotPlanarFlag, 1, 0);
+    } else {
+      int idx = -1;
+      for (int i = 0; i < 5; ++i) if (cand[i] == mode) { idx = i; break; }
+      if (idx >= 0) {
+        c.bin(SE_IntraLumaMpmFlag, 0, 1);
+        c.bin(SE_IntraLumaNotPlanarFlag, 1, 1);
+        for (int i = 0; i < idx; ++i) c.bypass(1);
+        if (idx < 4) c.bypass(0);
+      } else {
+        c.bin(SE_IntraLumaMpmFlag, 0, 0);
+        int s[5]; std::memcpy(s, cand, sizeof(s));
+        std::sort(s, s + 5);
+        int rem;
+        if (mode > s[4]) rem = mode - 6;
+        else if (mode > s[3]) rem = mode - 5;
+        else if (mode > s[2]) rem = mode - 4;
+        else if (mode > s[1]) rem = mode - 3;
+        else if (mode > s[0]) rem = mode - 2;
+        else rem = mode - 1;
+        // TB(60): n=61, k=5, u=3
+        const int k = 5, u = 3;
+        if (rem < u) { for (int i = k - 1; i >= 0; --i) c.bypass((rem >> i) & 1); }
+        else { int v = rem + u; for (int i = k; i >= 0; --i) c.bypass((v >> i) & 1); }
+      }
+    }
+  }
+
+  void code_chroma_mode(const CuRec& cu, int derived_luma) {
+    if (cclm_enabled) {
+      int is_cclm = cu.chroma_mode >= 81;
+      c.bin(SE_CclmModeFlag, 0, is_cclm);
+      if (is_cclm) {
+        int idx = cu.chroma_mode - 81;
+        c.bin(SE_CclmModeIdx, 0, idx > 0);
+        if (idx > 0) c.bypass(idx - 1);
+        return;
+      }
+    }
+    // only the derived mode (idx 4) is produced by the search
+    if (cu.chroma_mode == derived_luma) {
+      c.bin(SE_IntraChromaPredMode, 0, 0);
+    } else {
+      // Table 20 index
+      int idx = -1;
+      const int base[4] = {0, 50, 18, 1};
+      for (int i = 0; i < 4; ++i) {
+        int m = (derived_luma == base[i]) ? 66 : base[i];
+        if (m == cu.chroma_mode) { idx = i; break; }
+      }
+      c.bin(SE_IntraChromaPredMode, 0, 1);
+      c.bypass((idx >> 1) & 1);
+      c.bypass(idx & 1);
+    }
+  }
+
+  // ---------------- residual (syntax.py _code_residual; non-TS, I-slice)
+  void code_residual(const int16_t* q, int log2n, int c_idx) {
+    int n = 1 << log2n;
+    int P = n * n;
+    std::memset(pass1, 0, sizeof(int32_t) * P);
+    std::memset(abs_lv, 0, sizeof(int32_t) * P);
+    const auto& sx = g_scan.scan_x[log2n];
+    const auto& sy = g_scan.scan_y[log2n];
+
+    // last significant position
+    int last_idx = -1;
+    for (int i = 0; i < P; ++i)
+      if (q[sy[i] * n + sx[i]] != 0) last_idx = i;
+    int last_x = sx[last_idx], last_y = sy[last_idx];
+
+    code_last_prefix_suffix(SE_LastSigCoeffXPrefix, c_idx, log2n, last_x);
+    code_last_prefix_suffix(SE_LastSigCoeffYPrefix, c_idx, log2n, last_y);
+
+    int num_sb_coeff = std::min(P, 16);
+    int sb_sz = num_sb_coeff == 16 ? 4 : n;        // sub-block dimension
+    int log2_sb = sb_sz == 4 ? 2 : log2n;
+    int nsb_dim = n / sb_sz;
+    int last_sb = last_idx / num_sb_coeff;
+    int last_scan_pos = last_idx % num_sb_coeff;
+
+    int rem_bins = (P * 7) >> 2;
+    q_state = 0;
+    std::vector<uint8_t> sb_coded_map(nsb_dim * nsb_dim, 0);
+
+    for (int i = last_sb; i >= 0; --i) {
+      // sub-block origin (from the full scan: first coeff of sb i)
+      int x0 = sx[i * num_sb_coeff] & ~(sb_sz - 1);
+      int y0 = sy[i * num_sb_coeff] & ~(sb_sz - 1);
+      int sxs = x0 / sb_sz, sys = y0 / sb_sz;
+      int start_q_state = q_state;
+
+      int64_t sb_abs[16];
+      int qs = q_state;
+      for (int p = num_sb_coeff - 1; p >= 0; --p) {
+        int gi = i * num_sb_coeff + p;
+        int qv = std::abs((int)q[sy[gi] * n + sx[gi]]);
+        if (dep_quant) {
+          sb_abs[p] = (qv + (qs > 1 ? 1 : 0)) / 2;
+          qs = kQStateTrans[qs][sb_abs[p] & 1];
+        } else {
+          sb_abs[p] = qv;
+        }
+      }
+      bool sb_nonzero = false;
+      for (int p = 0; p < num_sb_coeff; ++p) sb_nonzero |= sb_abs[p] != 0;
+      bool sb_coded = sb_nonzero || (sxs == 0 && sys == 0);
+
+      bool infer_dc = false;
+      if (i < last_sb && i > 0) {
+        int csbf = 0;
+        if (sxs < nsb_dim - 1) csbf += sb_coded_map[sys * nsb_dim + sxs + 1];
+        if (sys < nsb_dim - 1) csbf += sb_coded_map[(sys + 1) * nsb_dim + sxs];
+        csbf = std::min(csbf, 1);
+        int inc = c_idx == 0 ? csbf : 2 + csbf;
+        c.bin(SE_SbCodedFlag, inc, sb_coded ? 1 : 0);
+        infer_dc = true;
+      } else {
+        sb_coded = true;
+      }
+      sb_coded_map[sys * nsb_dim + sxs] = sb_coded;
+
+      int first_pos_mode0 = (i == last_sb) ? last_scan_pos : num_sb_coeff - 1;
+      int first_pos_mode1 = first_pos_mode0;
+      for (int p = first_pos_mode0; p >= 0; --p) {
+        if (rem_bins < 4) break;
+        int gi = i * num_sb_coeff + p;
+        int xc = sx[gi], yc = sy[gi];
+        bool is_last = (xc == last_x && yc == last_y);
+        bool in_sb_dc = (xc % sb_sz == 0) && (yc % sb_sz == 0);
+        int sig = (sb_abs[p] != 0 || is_last ||
+                   (in_sb_dc && infer_dc && sb_coded)) ? 1 : 0;
+        bool emitted = sb_coded && (p > 0 || !infer_dc) && !is_last;
+        if (emitted) {
+          c.bin(SE_SigCoeffFlag, sig_ctx(xc, yc, c_idx, log2n), sig);
+          --rem_bins;
+          if (sig) infer_dc = false;
+        }
+        int gt0 = 0, par = 0, gt1 = 0;
+        int64_t a = sb_abs[p];
+        if (sig) {
+          gt0 = a > 1;
+          gt1 = a > 3;
+          par = (a > 1 && (a & 1)) ? 1 : 0;
+          c.bin(SE_AbsLevelGtxFlag, gtx_ctx(xc, yc, c_idx, log2n, 0, last_x, last_y), gt0);
+          --rem_bins;
+          if (gt0) {
+            c.bin(SE_ParLevelFlag, gtx_ctx(xc, yc, c_idx, log2n, -1, last_x, last_y), par);
+            c.bin(SE_AbsLevelGtxFlag, gtx_ctx(xc, yc, c_idx, log2n, 1, last_x, last_y), gt1);
+            rem_bins -= 2;
+          }
+        }
+        int p1 = sig + par + gt0 + 2 * gt1;
+        pass1[yc * n + xc] = p1;
+        if (dep_quant) q_state = kQStateTrans[q_state][p1 & 1];
+        first_pos_mode1 = p - 1;
+      }
+      // pass 2: abs_remainder
+      for (int p = first_pos_mode0; p > first_pos_mode1; --p) {
+        int gi = i * num_sb_coeff + p;
+        int xc = sx[gi], yc = sy[gi];
+        int p1 = pass1[yc * n + xc];
+        int64_t rem = 0;
+        if (p1 >= 4) {
+          rem = (sb_abs[p] - p1) / 2;
+          int rice = rice_param(xc, yc, log2n, 4);
+          code_rice_escape(rice, rem);
+        }
+        abs_lv[yc * n + xc] = (int32_t)(p1 + 2 * rem);
+      }
+      // pass 3: dec_abs_level
+      for (int p = first_pos_mode1; p >= 0; --p) {
+        int gi = i * num_sb_coeff + p;
+        int xc = sx[gi], yc = sy[gi];
+        if (sb_coded) {
+          int rice = rice_param(xc, yc, log2n, 0);
+          int64_t zero_pos = (int64_t)(dep_quant ? (q_state < 2 ? 1 : 2) : 1)
+                             << rice;
+          int64_t v = sb_abs[p];
+          int64_t dec = v == 0 ? zero_pos : (zero_pos >= v ? v - 1 : v);
+          code_rice_escape(rice, dec);
+        }
+        abs_lv[yc * n + xc] = (int32_t)sb_abs[p];
+        if (dep_quant) q_state = kQStateTrans[q_state][sb_abs[p] & 1];
+      }
+      // signs
+      for (int p = num_sb_coeff - 1; p >= 0; --p) {
+        int gi = i * num_sb_coeff + p;
+        int xc = sx[gi], yc = sy[gi];
+        if (sb_abs[p] > 0) c.bypass(q[yc * n + xc] < 0 ? 1 : 0);
+      }
+      (void)start_q_state;
+    }
+  }
+
+  int local_template(int xc, int yc, int log2n, const int32_t* m, bool cap1) const {
+    int n = 1 << log2n;
+    int s = 0;
+    auto val = [&](int x, int y) {
+      int v = m[y * n + x];
+      return cap1 ? std::min(v, 1) : v;
+    };
+    if (xc < n - 1) {
+      s += val(xc + 1, yc);
+      if (xc < n - 2) s += val(xc + 2, yc);
+      if (yc < n - 1) s += val(xc + 1, yc + 1);
+    }
+    if (yc < n - 1) {
+      s += val(xc, yc + 1);
+      if (yc < n - 2) s += val(xc, yc + 2);
+    }
+    return s;
+  }
+
+  int sig_ctx(int xc, int yc, int c_idx, int log2n) const {
+    int sum_p1 = local_template(xc, yc, log2n, pass1, false);
+    int d = xc + yc;
+    int qs = dep_quant ? std::max(q_state - 1, 0) : 0;
+    if (c_idx == 0)
+      return 12 * qs + std::min((sum_p1 + 1) >> 1, 3) +
+             (d < 2 ? 8 : d < 5 ? 4 : 0);
+    return 36 + 8 * qs + std::min((sum_p1 + 1) >> 1, 3) + (d < 2 ? 4 : 0);
+  }
+
+  // j = -1 for par_level_flag
+  int gtx_ctx(int xc, int yc, int c_idx, int log2n, int j, int lx, int ly) const {
+    int sum_p1 = local_template(xc, yc, log2n, pass1, false);
+    int num_sig = local_template(xc, yc, log2n, pass1, true);
+    int off = std::min(sum_p1 - num_sig, 4);
+    int d = xc + yc;
+    int inc;
+    if (xc == lx && yc == ly) inc = c_idx == 0 ? 0 : 21;
+    else if (c_idx == 0)
+      inc = 1 + off + (d == 0 ? 15 : d < 3 ? 10 : d < 10 ? 5 : 0);
+    else
+      inc = 22 + off + (d == 0 ? 5 : 0);
+    if (j == 1) inc += 32;
+    return inc;
+  }
+
+  int rice_param(int xc, int yc, int log2n, int base) const {
+    int s = local_template(xc, yc, log2n, abs_lv, false);
+    s = std::min(std::max(s - base * 5, 0), 31);
+    return kRiceParams[s];
+  }
+
+  void code_rice_escape(int rice, int64_t value) {
+    int64_t c_max = int64_t{6} << rice;
+    int64_t prefix_val = std::min(value, c_max);
+    int prefix = (int)(prefix_val >> rice);
+    int max_prefix = 6;
+    if (prefix < max_prefix) {
+      for (int i = 0; i < prefix; ++i) c.bypass(1);
+      c.bypass(0);
+      for (int i = rice - 1; i >= 0; --i)
+        c.bypass((int)((prefix_val >> i) & 1));
+    } else {
+      for (int i = 0; i < max_prefix; ++i) c.bypass(1);
+      // limited EG(rice+1), max_pre 11, trunc 15
+      int64_t v = value - c_max;
+      int k = rice + 1;
+      int64_t code_value = v >> k;
+      int pre = 0;
+      while (pre < 11 && code_value > (int64_t{2} << pre) - 2) { ++pre; c.bypass(1); }
+      int esc;
+      if (pre == 11) esc = 15;
+      else { c.bypass(0); esc = pre + k; }
+      int64_t rem = v - (((int64_t{1} << pre) - 1) << k);
+      for (int i = esc - 1; i >= 0; --i) c.bypass((int)((rem >> i) & 1));
+    }
+  }
+
+  void code_last_prefix_suffix(int se, int c_idx, int log2n, int value) {
+    int c_max = (std::min(log2n, 5) << 1) - 1;
+    int prefix, suffix = 0, suffix_bits = 0;
+    if (value <= 3) prefix = value;
+    else {
+      suffix_bits = 1;
+      while ((value >> suffix_bits) >= 4) ++suffix_bits;
+      suffix = value - ((value >> suffix_bits) << suffix_bits);
+      prefix = ((suffix_bits + 1) << 1) + ((value >> suffix_bits) & 1);
+    }
+    static const int OFFSET_Y[6] = {0, 0, 3, 6, 10, 15};
+    auto ctx = [&](int b) {
+      int off, shift;
+      if (c_idx == 0) { off = OFFSET_Y[log2n - 1]; shift = (log2n + 1) >> 2; }
+      else { off = 20; shift = std::min(std::max((1 << log2n) >> 3, 0), 2); }
+      return (b >> shift) + off;
+    };
+    for (int b = 0; b < std::min(prefix, c_max); ++b) c.bin(se, ctx(b), 1);
+    if (prefix < c_max) c.bin(se, ctx(prefix), 0);
+    if (prefix > 3) {
+      int nb = (prefix >> 1) - 1;
+      for (int i = nb - 1; i >= 0; --i) c.bypass((suffix >> i) & 1);
+    }
+  }
+
+  // ---------------- transform unit
+  void code_tu(const CuRec& cu) {
+    bool luma_active = cu.tree != 2;
+    bool chroma_active = cu.tree != 1;
+    const int16_t* qy = cu.coeff_off[0] >= 0 ? coeffs + cu.coeff_off[0] : nullptr;
+    const int16_t* qcb = cu.coeff_off[1] >= 0 ? coeffs + cu.coeff_off[1] : nullptr;
+    const int16_t* qcr = cu.coeff_off[2] >= 0 ? coeffs + cu.coeff_off[2] : nullptr;
+    int nl = 1 << cu.log2, nc = nl >> 1;
+    auto nz = [](const int16_t* q, int n) {
+      if (!q) return false;
+      for (int i = 0; i < n * n; ++i) if (q[i]) return true;
+      return false;
+    };
+    int y_coded = luma_active && nz(qy, nl);
+    int cb_coded = chroma_active && nz(qcb, nc);
+    int cr_coded = chroma_active && nz(qcr, nc);
+    if (chroma_active) {
+      c.bin(SE_TuCbCodedFlag, 0, cb_coded);
+      c.bin(SE_TuCrCodedFlag, cb_coded ? 1 : 0, cr_coded);
+    }
+    if (luma_active) c.bin(SE_TuYCodedFlag, 0, y_coded);
+    if ((y_coded || cb_coded || cr_coded) && cu.tree != 2 && !cu_qp_delta_coded) {
+      c.bin(SE_CuQpDeltaAbs, 0, 0);  // fixed-QP: delta always 0
+      cu_qp_delta_coded = true;
+    }
+    if (y_coded && cu.tree != 2) {
+      if (transform_skip_enabled) c.bin(SE_TransformSkipFlag, 0, 0);
+      code_residual(qy, cu.log2, 0);
+    }
+    if (cb_coded && cu.tree != 1) {
+      if (transform_skip_enabled) c.bin(SE_TransformSkipFlag, 1, 0);
+      code_residual(qcb, cu.log2 - 1, 1);
+    }
+    if (cr_coded && cu.tree != 1) {
+      if (transform_skip_enabled) c.bin(SE_TransformSkipFlag, 1, 0);
+      code_residual(qcr, cu.log2 - 1, 2);
+    }
+  }
+
+  void code_cu(const CuRec& cu) {
+    int size = 1 << cu.log2;
+    if (cu.tree != 2) code_luma_mode(cu);
+    if (cu.tree != 1) {
+      int derived;
+      if (cu.tree == 2) {
+        int cxc = cu.x + size / 2, cyc = cu.y + size / 2;
+        derived = mode_map[(cyc >> 2) * n4w() + (cxc >> 2)];
+      } else derived = cu.luma_mode;
+      code_chroma_mode(cu, derived);
+    }
+    if (cu.tree != 2) {
+      int x4 = cu.x >> 2, y4 = cu.y >> 2, nn = std::max(size >> 2, 1);
+      for (int yy = 0; yy < nn; ++yy)
+        for (int xx = 0; xx < nn; ++xx) {
+          mode_map[(y4 + yy) * n4w() + x4 + xx] = cu.luma_mode;
+          mode_set[(y4 + yy) * n4w() + x4 + xx] = 1;
+        }
+    }
+    code_tu(cu);
+  }
+
+  // coding tree: node stream consumed pre-order; -1 = split, else CU index
+  size_t code_tree(const int32_t* nodes, size_t pos, const CuRec* cus,
+                   int x, int y, int log2, int tree) {
+    int size = 1 << log2;
+    bool allow_qt = (tree != 2) && size > 4;
+    int32_t tag = nodes[pos++];
+    bool split = tag == -1;
+    if (allow_qt && y + size <= H) {
+      // split_cu_flag ctx
+      bool al = avail(x, y, x - 1, y);
+      bool aa = avail(x, y, x, y - 1);
+      int cond_l = al && cbh_map[(y >> 2) * n4w() + ((x - 1) >> 2)] < size;
+      int cond_a = aa && cbw_map[((y - 1) >> 2) * n4w() + (x >> 2)] < size;
+      c.bin(SE_SplitCuFlag, cond_l + cond_a, split ? 1 : 0);
+    }
+    if (split) {
+      int half = size >> 1;
+      bool scipu = (tree == 0 && size == 8);
+      for (int i = 0; i < 4; ++i) {
+        int cx = x + (i % 2) * half, cy = y + (i / 2) * half;
+        pos = code_tree(nodes, pos, cus, cx, cy, log2 - 1,
+                        scipu ? 1 : tree);
+      }
+      if (scipu) pos = code_tree(nodes, pos, cus, x, y, log2, 2);
+    } else {
+      const CuRec& cu = cus[tag];
+      // record cb size for split ctx of later neighbours
+      if (cu.tree != 2) {
+        int x4 = x >> 2, y4 = y >> 2, nn = std::max(size >> 2, 1);
+        for (int yy = 0; yy < nn; ++yy)
+          for (int xx = 0; xx < nn; ++xx) {
+            cbw_map[(y4 + yy) * n4w() + x4 + xx] = (int16_t)size;
+            cbh_map[(y4 + yy) * n4w() + x4 + xx] = (int16_t)size;
+          }
+      }
+      code_cu(cu);
+    }
+    return pos;
+  }
+};
+
+}  // namespace
+
+// ------------------------------------------------------------------ C API
+// Encode one slice's CTU data. Returns number of bytes written to out.
+//
+// ctx_init: flattened context table: n_se ints of offsets (or -1), then
+//   total*3 int32: init_value, shift_idx packed by caller as separate arrays.
+extern "C" int64_t wrenc_encode_slice(
+    // geometry / flags
+    int W, int H, int log2_ctu, int qp, int dep_quant, int ts_enabled,
+    int cclm_enabled,
+    // cabac context init data (I-slice): per-SE offsets and flat tables
+    const int32_t* se_off, int n_se,
+    const int32_t* init_vals, const int32_t* shift_vals, int n_ctx,
+    // decisions
+    const int32_t* nodes, int64_t n_nodes,
+    const int32_t* cu_data, int64_t n_cus,  // 6 ints per CU
+    const int64_t* coeff_offs,              // 3 per CU
+    const int16_t* coeffs,
+    // output buffer (caller-allocated)
+    uint8_t* out_buf, int64_t out_cap) {
+  SliceCoder sc;
+  sc.W = W; sc.H = H; sc.log2_ctu = log2_ctu; sc.qp = qp;
+  sc.dep_quant = dep_quant; sc.transform_skip_enabled = ts_enabled;
+  sc.cclm_enabled = cclm_enabled;
+  sc.mode_map.assign((W >> 2) * (H >> 2), 0);
+  sc.mode_set.assign((W >> 2) * (H >> 2), 0);
+  sc.cbw_map.assign((W >> 2) * (H >> 2), 0);
+  sc.cbh_map.assign((W >> 2) * (H >> 2), 0);
+  sc.coeffs = coeffs;
+
+  // contexts
+  sc.c.se_off.assign(se_off, se_off + n_se);
+  sc.c.s0.resize(n_ctx);
+  sc.c.s1.resize(n_ctx);
+  sc.c.shift_idx.resize(n_ctx);
+  int qp_c = std::min(std::max(qp, 0), 63);
+  for (int i = 0; i < n_ctx; ++i) {
+    int init = init_vals[i];
+    int slope = (init >> 3) - 4;
+    int offs = (init & 7) * 18 + 1;
+    int pre = ((slope * (qp_c - 16)) >> 1) + offs;
+    pre = std::min(std::max(pre, 1), 127);
+    sc.c.s0[i] = (uint16_t)(pre << 3);
+    sc.c.s1[i] = (uint16_t)(pre << 7);
+    sc.c.shift_idx[i] = (uint8_t)shift_vals[i];
+  }
+  sc.c.init_engine();
+
+  std::vector<uint8_t> out;
+  out.reserve(1 << 16);
+  BitSink sink{&out};
+  sc.c.w = &sink;
+
+  std::vector<CuRec> cus((size_t)n_cus);
+  for (int64_t i = 0; i < n_cus; ++i) {
+    const int32_t* d = cu_data + i * 6;
+    cus[i] = CuRec{d[0], d[1], d[2], d[3], d[4], d[5],
+                   {coeff_offs[i * 3], coeff_offs[i * 3 + 1],
+                    coeff_offs[i * 3 + 2]}};
+  }
+
+  int cs = 1 << log2_ctu;
+  int n_ctu = (W / cs) * (H / cs);
+  size_t pos = 0;
+  int idx = 0;
+  for (int cy = 0; cy < H; cy += cs)
+    for (int cx = 0; cx < W; cx += cs) {
+      sc.cu_qp_delta_coded = false;
+      pos = sc.code_tree(nodes, pos, cus.data(), cx, cy, log2_ctu, 0);
+      sc.c.terminate(idx == n_ctu - 1 ? 1 : 0);
+      ++idx;
+    }
+  sink.align(0);
+  if ((int64_t)out.size() > out_cap) return -1;
+  std::memcpy(out_buf, out.data(), out.size());
+  return (int64_t)out.size();
+}

@@ -1,0 +1,240 @@
+"""Batched (dependent) quantization on TPU.
+
+- greedy dep-quant + RD rate estimate fused in one lax.scan over scan
+  positions (vectorized over blocks) — used by the candidate RD sweep
+- exact 8-state Viterbi trellis (lax.scan forward + backtrack) — used for
+  committed coefficients; per-step cost normalization keeps int32 exact
+- plain quantization / dequantization elementwise
+
+Behavioural reference: quantizer.rs (quantize :519, search_dq :338) and the
+exact-cost reformulation in spec/quant.py.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import tables
+from ..spec import quant as squant
+
+def _q_trans():
+    # plain numpy: embedded as a compile-time constant inside jit traces
+    # (device_put inside a trace can deadlock the transfer thread)
+    return tables.Q_STATE_TRANS.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def coding_order(log2_n):
+    """Flattened (P,) indices into an n*n block in coding (reverse scan)
+    order: flat index = y*n + x."""
+    scan = squant.full_scan(log2_n, log2_n)[::-1]
+    n = 1 << log2_n
+    return (scan[:, 1] * n + scan[:, 0]).astype(np.int32)
+
+
+def lam_dq_table(rate_model, qp, trellis):
+    """Exact int32 table lam_q * dq_rate_table (the quantizer cost model's
+    rate term, quantizer.rs:29 with integer lambda)."""
+    i = np.arange(1024, dtype=np.float64)
+    dq = ((i * 16384.0) ** rate_model.quant_lv_pow).astype(np.int64)
+    qp_div = rate_model.quant_qp_div_trellis if trellis else rate_model.quant_qp_div
+    mul = rate_model.quant_lambda_mul_trellis if trellis else rate_model.quant_lambda_mul
+    off = (rate_model.quant_lambda_offset_trellis if trellis
+           else rate_model.quant_lambda_offset)
+    lam = int(2.0 ** (qp / qp_div) * mul) + off
+    return (lam * dq).astype(np.int32)
+
+
+def lv_table_device(rate_model, dep_quant, trellis):
+    """RD level-rate table (block_splitter.rs:45-53) as f32 device array."""
+    i = np.arange(1024, dtype=np.float64)
+    if not dep_quant:
+        p, off = rate_model.lv_pow, rate_model.lv_offset
+    elif trellis:
+        p, off = rate_model.lv_pow_dq_trellis, rate_model.lv_offset_dq_trellis
+    else:
+        p, off = rate_model.lv_pow_dq, rate_model.lv_offset_dq
+    return ((i + off) ** p * 16384.0).astype(np.int64).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def greedy_depquant(t, ls, bd_shift, lam_dq, log2_n, lv_table):
+    """Greedy dependent quantization + RD level-rate, batched.
+
+    t: (B, n, n) int32 transform coefficients; ls/bd_shift scalars;
+    lam_dq: (1024,) int32 lambda-scaled quantizer rate table; lv_table:
+    (1024,) f32 RD level-rate table. Returns (q (B,n,n) int16 stored
+    levels, rate (B,) f32).
+    """
+    B = t.shape[0]
+    order = coding_order(log2_n)
+    tf = t.reshape(B, -1)[:, order]          # (B, P) coding order
+    bd_offset = (1 << bd_shift) >> 1
+    trans = jnp.asarray(_q_trans())
+
+    def body(carry, tc):
+        q_state, trailing, rate = carry
+        delta = (q_state > 1).astype(jnp.int32)
+        sign_neg = tc < 0
+        s_ = (jnp.abs(tc) << bd_shift) + jnp.where(sign_neg, bd_offset,
+                                                   -bd_offset)
+        a0 = (s_ // ls + delta) // 2
+        def cost_of(a):
+            mag = jnp.where(a == 0, 0, 2 * a - delta)
+            dq = (mag * ls + bd_offset) >> bd_shift
+            dist = jnp.abs(jnp.abs(tc) - dq)
+            bits = jnp.where((a == 0) & trailing, 0, a + 1)
+            return 128 * dist + lam_dq[jnp.clip(bits, 0, 1023)], mag
+        c0, m0 = cost_of(a0)
+        c1, m1 = cost_of(a0 + 1)
+        pick1 = c1 < c0
+        a = jnp.where(tc == 0, 0, jnp.where(pick1, a0 + 1, a0))
+        mag = jnp.where(tc == 0, 0, jnp.where(pick1, m1, m0))
+        qv = jnp.where(sign_neg, -mag, mag)
+        # RD rate accumulation (block_splitter lv tables)
+        r = jnp.where(a == 0,
+                      jnp.where(trailing, 0.0, lv_table[0]),
+                      lv_table[jnp.clip(a, 0, 1023)])
+        rate = rate + r
+        trailing = trailing & (a == 0)
+        q_state = trans[q_state, a & 1]
+        return (q_state, trailing, rate), qv
+
+    init = (jnp.zeros(B, jnp.int32), jnp.ones(B, bool),
+            jnp.zeros(B, jnp.float32))
+    (qs, tr, rate), q_seq = jax.lax.scan(body, init, tf.T)
+    qf = q_seq.T                              # (B, P)
+    q = jnp.zeros((B, (1 << log2_n) ** 2), jnp.int32)
+    q = q.at[:, order].set(qf)
+    return q.reshape(t.shape).astype(jnp.int16), rate
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def trellis_depquant(t, ls, bd_shift, lam_dq, log2_n):
+    """Exact 8-state (q_state x trailing) Viterbi, batched.
+
+    Same objective as spec.quant.DepQuantizer trellis; per-step cost
+    normalization (subtract the per-block min) keeps costs in int32.
+    Returns q (B, n, n) int16 stored levels.
+    """
+    B = t.shape[0]
+    order = coding_order(log2_n)
+    P = order.shape[0]
+    tf = t.reshape(B, -1)[:, order]
+    bd_offset = (1 << bd_shift) >> 1
+    trans = jnp.asarray(_q_trans())
+    BIG = jnp.int32(1 << 29)
+
+    q_states = jnp.arange(8, dtype=jnp.int32) >> 1     # (8,)
+    trailing_s = (jnp.arange(8, dtype=jnp.int32) & 1).astype(bool)
+
+    def step(carry, inp):
+        cost = carry                         # (B, 8) int32
+        tc, is_dc = inp
+        delta = (q_states > 1).astype(jnp.int32)[None, :]       # (1,8)
+        sign_neg = (tc < 0)[:, None]
+        s_ = (jnp.abs(tc)[:, None] << bd_shift) + jnp.where(
+            sign_neg, bd_offset, -bd_offset)
+        a0 = (s_ // ls + delta) // 2                             # (B,8)
+
+        def eval_a(a):
+            mag = jnp.where(a == 0, 0, 2 * a - delta)
+            dq = (mag * ls + bd_offset) >> bd_shift
+            dist = jnp.abs(jnp.abs(tc)[:, None] - dq)
+            bits = jnp.where((a == 0) & trailing_s[None, :], 0, a + 1)
+            c = 128 * dist + lam_dq[jnp.clip(bits, 0, 1023)]
+            # all-zero-block correction at the DC (final) position
+            c = c - jnp.where(is_dc & trailing_s[None, :] & (a == 0),
+                              lam_dq[1], 0)
+            src = jnp.broadcast_to(q_states[None, :], a.shape)
+            nstate = trans[src, a & 1] * 2 + \
+                (trailing_s[None, :] & (a == 0)).astype(jnp.int32)
+            return c, mag, nstate
+
+        zero = (tc == 0)[:, None]
+        cands = []
+        for k in (0, 1):
+            a = jnp.where(zero, 0, a0 + k)
+            c, mag, nstate = eval_a(a)
+            c = jnp.where(zero & (k == 1), BIG, c)   # single option for zeros
+            cands.append((c, a, mag, nstate))
+
+        new_cost = jnp.full((B, 8), BIG, dtype=jnp.int32)
+        bp_prev = jnp.zeros((B, 8), jnp.int8)
+        bp_mag = jnp.zeros((B, 8), jnp.int32)
+        for c, a, mag, nstate in cands:
+            total = cost + c                         # (B, 8) from-state costs
+            # scatter-min into destination states
+            for src in range(8):
+                dst = nstate[:, src]                 # (B,)
+                tot = total[:, src]
+                cur = jnp.take_along_axis(new_cost, dst[:, None], axis=1)[:, 0]
+                better = tot < cur
+                new_cost = jnp.where(
+                    better[:, None] & (jnp.arange(8)[None, :] == dst[:, None]),
+                    tot[:, None], new_cost)
+                bp_prev = jnp.where(
+                    better[:, None] & (jnp.arange(8)[None, :] == dst[:, None]),
+                    jnp.int8(src), bp_prev)
+                mg = jnp.where(tc < 0, -mag[:, src], mag[:, src])
+                bp_mag = jnp.where(
+                    better[:, None] & (jnp.arange(8)[None, :] == dst[:, None]),
+                    mg[:, None], bp_mag)
+        new_cost = new_cost - new_cost.min(axis=1, keepdims=True)
+        return new_cost, (bp_prev, bp_mag)
+
+    init_cost = jnp.full((B, 8), BIG, jnp.int32).at[:, 1].set(0)
+    is_dc = jnp.zeros(P, bool).at[P - 1].set(True)
+    final_cost, (bp_prev, bp_mag) = jax.lax.scan(
+        step, init_cost, (tf.T, is_dc))
+
+    # backtrack
+    state0 = jnp.argmin(final_cost, axis=1).astype(jnp.int32)
+
+    def back(state, bp):
+        prev, mag = bp
+        qv = jnp.take_along_axis(mag, state[:, None], axis=1)[:, 0]
+        state = jnp.take_along_axis(prev.astype(jnp.int32),
+                                    state[:, None], axis=1)[:, 0]
+        return state, qv
+
+    _, q_rev = jax.lax.scan(back, state0, (bp_prev, bp_mag), reverse=True)
+    qf = q_rev.T                              # (B, P)
+    q = jnp.zeros((B, (1 << log2_n) ** 2), jnp.int32)
+    q = q.at[:, order].set(qf)
+    return q.reshape(t.shape).astype(jnp.int16)
+
+
+@jax.jit
+def dequantize(q, ls, bd_shift):
+    bd_offset = (1 << bd_shift) >> 1
+    d = (q.astype(jnp.int32) * ls + bd_offset) >> bd_shift
+    return jnp.clip(d, -(1 << 15), (1 << 15) - 1)
+
+
+def dq_rate_scan(q, log2_n, lv_table):
+    """RD level-rate of stored q levels (dep-quant walk), batched -> (B,)."""
+    return _dq_rate_scan(q, log2_n, lv_table)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _dq_rate_scan(q, log2_n, lv_table):
+    B = q.shape[0]
+    order = coding_order(log2_n)
+    qf = jnp.abs(q.reshape(B, -1)[:, order].astype(jnp.int32))
+    trans = jnp.asarray(_q_trans())
+
+    def body(carry, qv):
+        q_state, trailing, rate = carry
+        a = jnp.where(qv == 0, 0,
+                      (qv + (q_state > 1).astype(jnp.int32)) // 2)
+        r = jnp.where(a == 0,
+                      jnp.where(trailing, 0.0, lv_table[0]),
+                      lv_table[jnp.clip(a, 0, 1023)])
+        return (trans[q_state, a & 1], trailing & (a == 0), rate + r), None
+
+    init = (jnp.zeros(B, jnp.int32), jnp.ones(B, bool),
+            jnp.zeros(B, jnp.float32))
+    (_, _, rate), _ = jax.lax.scan(body, init, qf.T)
+    return rate

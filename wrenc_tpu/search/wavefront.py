@@ -1,0 +1,419 @@
+"""TPU wavefront search: batched QT partition + intra mode decision.
+
+Restructures the reference's depth-first mutate-and-rollback recursion
+(block_splitter.rs:782) into two phases designed for the TPU's execution
+model (SURVEY.md §7.1):
+
+Stage A — decision (fully parallel): every aligned block of every QT size
+is evaluated for all 67 intra modes at once (the mode sweep is two MXU
+matmuls, kernels/intra_pred.py), using original-pixel references. Top
+candidates by SAD get full RD (transform + greedy dep-quant + rate model),
+then the QT is decided bottom-up by parallel cost reduction. Original-pixel
+references make every block independent; the reconstruction-feedback error
+this introduces is small and is the standard fast-encoder trade.
+
+Stage B — commit (wavefront): the chosen CUs are re-encoded against true
+reconstructed references with trellis RDOQ, batched by dependency rank
+(a CU's rank is 1 + max rank over the 4x4 cells its reference samples
+read). Runs vectorized per rank; bit-exact with the scalar spec model, so
+the entropy coder and decoder agree with the committed reconstruction.
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core import tables
+from ..entropy.structure import CtNode, CuDecision
+from ..kernels import intra_pred, np_ops, quantize as kq, refs, transforms
+from ..spec import quant
+
+import jax
+import functools
+
+
+class WavefrontSearch:
+    NUM_RD_CANDS = 4  # angular full-RD candidates on top of PLANAR/DC
+
+    def __init__(self, cfg, trellis_commit=True):
+        cfg.validate()
+        self.cfg = cfg
+        self.rm = cfg.rate_model
+        self.trellis_commit = trellis_commit
+        qp = cfg.qp
+        self.qp_c = quant.chroma_qp_from_luma(qp)
+        self.qpar = {}
+        for c_idx in (0, 1):
+            q = qp if c_idx == 0 else self.qp_c
+            for log2 in (2, 3, 4, 5):
+                self.qpar[(c_idx, log2)] = quant.derive_quant_params(
+                    q, log2, log2, dep_quant=cfg.dep_quant_enabled,
+                    transform_skip=False)
+        self.lam_dq_greedy = kq.lam_dq_table(self.rm, qp, trellis=False)
+        self.lam_dq_trellis = kq.lam_dq_table(self.rm, qp, trellis=True)
+        self.lv_greedy = kq.lv_table_device(self.rm, cfg.dep_quant_enabled,
+                                            False)
+        self.lv_trellis = kq.lv_table_device(self.rm, cfg.dep_quant_enabled,
+                                             True)
+        dep = cfg.dep_quant_enabled
+        self.lam = 2.0 ** (qp / self.rm.pick('qp_div', dep, True)) \
+            * self.rm.pick('lambda_mul', dep, True)
+        self._mode_bits = self._approx_mode_bits()
+
+    # ------------------------------------------------------------- stage A
+    def _approx_mode_bits(self):
+        """Static per-mode luma mode-bits estimate (MPM membership is
+        neighbour-dependent; stage A uses the expectation)."""
+        rm, dep = self.rm, self.cfg.dep_quant_enabled
+        out = np.zeros(67, dtype=np.float32)
+        out[0] = rm.pick('planar_offset', dep, True)
+        mpm = (1.0 + rm.pick('mpm_idx_offset', dep, True)) ** rm.mpm_idx_pow
+        rem = rm.pick('mpm_remainder_mult', dep, True) * \
+            (30.0 + rm.pick('mpm_remainder_offset', dep, True)) \
+            ** rm.mpm_remainder_pow
+        out[1:] = rm.pick('non_planar_offset', dep, True) + \
+            0.5 * (mpm + rem)
+        return out
+
+    def encode_frame(self, planes):
+        return self.encode_frames([planes])[0]
+
+    def encode_frames(self, frames):
+        """Batched API: stage A for all frames in single device calls, then
+        per-frame tree assembly + commit. Returns [(trees, recon), ...]."""
+        cfg = self.cfg
+        self.batch = [[np.asarray(p, dtype=np.int32) for p in planes]
+                      for planes in frames]
+        F = len(self.batch)
+        sizes = [1 << (cfg.log2_ctu_size - d)
+                 for d in range(cfg.max_split_depth, -1, -1)]
+        luma_mode_b = {}
+        luma_cost_b = {}
+        for s in sizes:
+            mode, cost = self._stage_a_luma_batch(s)      # (F, N) each
+            luma_mode_b[s], luma_cost_b[s] = mode, cost
+        chroma_cache = {}
+        out = []
+        for fi in range(F):
+            self.orig = self.batch[fi]
+            res = self._decide_and_commit(
+                {s: luma_mode_b[s][fi] for s in sizes},
+                {s: luma_cost_b[s][fi] for s in sizes},
+                sizes, fi, luma_mode_b, chroma_cache)
+            out.append(res)
+        return out
+
+    def _decide_and_commit(self, luma_mode, luma_cost, sizes, fi,
+                           luma_mode_b, chroma_cache):
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        dep = cfg.dep_quant_enabled
+
+        # chroma costs with derived modes (batched across frames, cached)
+        hb = self.rm.pick('header_bits', dep, True)
+        chb = self.rm.pick('chroma_header_bits', dep, True)
+        ncc = (self.rm.pick('non_cclm_offset', dep, True)
+               if cfg.cclm_enabled else 0.0)
+
+        # bottom-up QT decision
+        min_s = sizes[0]
+        cost = None
+        split = {}
+        for s in sizes:
+            n_bw, n_bh = W // s, H // s
+            lc = luma_cost[s].reshape(n_bh, n_bw)
+            lm = luma_mode[s].reshape(n_bh, n_bw)
+            if s == 4:
+                # dual-tree luma leaves (inside SCIPU): hb/3, no chroma
+                leaf = lc + self.lam * (hb / 3.0 + self._mode_bits[lm])
+                cost = leaf
+                continue
+            cs = s // 2
+            # single-tree leaf: luma + derived-mode chroma + bits
+            ch = self._chroma_cached(chroma_cache, ('leaf', s), cs,
+                                     luma_mode_b[s], fi)
+            leaf = (lc + ch.reshape(n_bh, n_bw)
+                    + self.lam * (hb + self._mode_bits[lm] + ncc))
+            if cost is None:
+                cost = leaf
+                split[s] = np.zeros_like(leaf, dtype=bool)
+                continue
+            agg = (cost[0::2, 0::2] + cost[0::2, 1::2]
+                   + cost[1::2, 0::2] + cost[1::2, 1::2])
+            if s == 8 and min_s == 4:
+                # SCIPU: 4 luma-only children + one chroma CU whose mode is
+                # derived from the centre (bottom-right) 4x4 child
+                F = len(self.batch)
+                cm = luma_mode_b[4].reshape(F, H // 4, W // 4)[:, 1::2, 1::2]
+                ch_sc = self._chroma_cached(chroma_cache, ('scipu', 8), 4,
+                                            cm.reshape(F, -1), fi)
+                agg = agg + ch_sc.reshape(n_bh, n_bw) + self.lam * (chb + ncc)
+            split_here = agg <= leaf
+            split[s] = split_here
+            cost = np.where(split_here, agg, leaf)
+        self.split = split
+        self.luma_mode = luma_mode
+
+        trees = self._assemble_trees()
+        recon = self._commit(trees)
+        return trees, recon
+
+    def _stage_a_luma_batch(self, s):
+        """All-mode decision for every frame's s-blocks in one device call."""
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        log2 = s.bit_length() - 1
+        F = len(self.batch)
+        n_bw = W // s
+        vs, blks = [], []
+        for planes in self.batch:
+            u, xs, ys = refs.build_ref_vectors(planes[0], W, H, s, 0,
+                                               cfg.log2_ctu_size)
+            vs.append(intra_pred.make_v(u, s))
+            blks.append(planes[0].reshape(H // s, s, n_bw, s)
+                        .transpose(0, 2, 1, 3).reshape(-1, s * s))
+        v = np.concatenate(vs)
+        blocks = np.concatenate(blks)
+        qpar = self.qpar[(0, log2)]
+        pred = intra_pred.predict_all_modes(jnp.asarray(v), s, 0)
+        mode, cost = _stage_a_select(
+            pred, jnp.asarray(blocks), self.NUM_RD_CANDS, qpar.ls,
+            qpar.bd_shift, jnp.asarray(self.lam_dq_greedy),
+            jnp.asarray(self.lv_greedy), log2, np.float32(self.lam),
+            jnp.asarray(self._mode_bits))
+        N = len(blks[0])
+        return (np.asarray(mode).reshape(F, N),
+                np.asarray(cost).reshape(F, N))
+
+    def _chroma_cached(self, cache, key, cs, modes_b, fi):
+        if key not in cache:
+            cache[key] = self._stage_a_chroma_batch(cs, modes_b)
+        return cache[key][fi]
+
+    def _stage_a_chroma_batch(self, cs, modes_b):
+        """Chroma RD cost (cb+cr), all frames in one device call per comp.
+
+        modes_b: (F, N) derived modes. Returns (F, N) costs."""
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        log2 = cs.bit_length() - 1
+        F, N = modes_b.shape
+        total = None
+        for c_idx in (1, 2):
+            vs, blks = [], []
+            n_bw = (W // 2) // cs
+            for planes in self.batch:
+                u, xs, ys = refs.build_ref_vectors(planes[c_idx], W, H, cs, 1,
+                                                   cfg.log2_ctu_size)
+                vs.append(intra_pred.make_v(u, cs))
+                blks.append(planes[c_idx].reshape((H // 2) // cs, cs, n_bw, cs)
+                            .transpose(0, 2, 1, 3).reshape(-1, cs * cs))
+            v = np.concatenate(vs)
+            blocks = np.concatenate(blks)
+            qpar = self.qpar[(1, log2)]
+            pred = intra_pred.predict_modes(
+                jnp.asarray(v), jnp.asarray(modes_b.ravel(), dtype=np.int32),
+                cs, 1)
+            ssd, rate = _rd_eval(pred.reshape(-1, cs, cs),
+                                 jnp.asarray(blocks.reshape(-1, cs, cs)),
+                                 qpar.ls, qpar.bd_shift,
+                                 jnp.asarray(self.lam_dq_greedy),
+                                 jnp.asarray(self.lv_greedy), log2)
+            c = np.asarray(ssd).astype(np.float64) \
+                + self.lam * np.asarray(rate) / 16384.0
+            total = c if total is None else total + c
+        return total.reshape(F, N)
+
+    # ----------------------------------------------------- tree assembly
+    def _assemble_trees(self):
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        cs = cfg.ctu_size
+        trees = []
+        for cy in range(0, H, cs):
+            for cx in range(0, W, cs):
+                trees.append(self._build_node(cx, cy, cfg.log2_ctu_size,
+                                              0, 'S', 'ALL'))
+        return trees
+
+    def _build_node(self, x, y, log2, cqt_depth, tree, mode_type):
+        s = 1 << log2
+        node = CtNode(x, y, log2, cqt_depth, tree, mode_type)
+        min_log2 = self.cfg.log2_ctu_size - self.cfg.max_split_depth
+        do_split = (log2 > min_log2
+                    and bool(self.split[s][y // s, x // s]))
+        if do_split:
+            node.split = True
+            half = s >> 1
+            scipu = (tree == 'S' and s == 8 and self.cfg.chroma_format == 1)
+            for i in range(4):
+                bx, by = x + (i % 2) * half, y + (i // 2) * half
+                node.children.append(self._build_node(
+                    bx, by, log2 - 1, cqt_depth + 1,
+                    'L' if scipu else tree, 'INTRA' if scipu else mode_type))
+            if scipu:
+                ch = CtNode(x, y, log2, cqt_depth, 'C', 'INTRA')
+                center = int(self.luma_mode[4][(y // 4 + 1) * (self.cfg.width // 4)
+                                               + (x // 4 + 1)])
+                ch.cu = CuDecision(x, y, log2, 'C', luma_mode=0,
+                                   chroma_mode=center)
+                node.children.append(ch)
+        else:
+            m = int(self.luma_mode[s][(y // s) * (self.cfg.width // s) + x // s])
+            node.cu = CuDecision(x, y, log2, tree, luma_mode=m,
+                                 chroma_mode=(m if tree == 'S' else 0))
+        return node
+
+    # ------------------------------------------------------------- commit
+    def _collect_cus(self, trees):
+        out = []
+        def walk(n):
+            if n.split:
+                for c in n.children:
+                    walk(c)
+            else:
+                out.append(n.cu)
+        for t in trees:
+            if t.split:
+                for c in t.children:
+                    walk(c)
+            elif t.cu is not None:
+                out.append(t.cu)
+            # SCIPU chroma node appears in children; handled by walk
+        return out
+
+    def _commit(self, trees):
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        recon = [np.zeros((H, W), dtype=np.int32),
+                 np.zeros((H // 2, W // 2), dtype=np.int32),
+                 np.zeros((H // 2, W // 2), dtype=np.int32)]
+        cus = self._collect_cus(trees)
+
+        # dependency ranks over 4x4 cells
+        rank_grid = np.zeros((H // 4, W // 4), dtype=np.int32)
+        ranks = np.zeros(len(cus), dtype=np.int32)
+        for i, cu in enumerate(cus):
+            s = 1 << cu.log2
+            x4, y4, n4 = cu.x // 4, cu.y // 4, max(s // 4, 1)
+            r = 0
+            if cu.x > 0:
+                col = rank_grid[max(y4 - 1, 0):min(y4 + 2 * n4, H // 4),
+                                x4 - 1]
+                if col.size:
+                    r = max(r, int(col.max()))
+            if cu.y > 0:
+                row = rank_grid[y4 - 1,
+                                max(x4 - 1, 0):min(x4 + 2 * n4, W // 4)]
+                if row.size:
+                    r = max(r, int(row.max()))
+            ranks[i] = r + 1
+            # max, not assignment: the SCIPU chroma CU shares cells with its
+            # luma children and must not lower their recorded ranks
+            region = rank_grid[y4:y4 + n4, x4:x4 + n4]
+            rank_grid[y4:y4 + n4, x4:x4 + n4] = np.maximum(region, ranks[i])
+
+        order = np.argsort(ranks, kind='stable')
+        groups = {}
+        for i in order:
+            cu = cus[i]
+            groups.setdefault((int(ranks[i]), cu.log2, cu.tree), []).append(cu)
+
+        for (rank, log2, tree) in sorted(groups.keys()):
+            batch = groups[(rank, log2, tree)]
+            if tree in ('S', 'L'):
+                self._commit_comp(batch, 0, log2, recon)
+            if tree in ('S', 'C'):
+                self._commit_comp(batch, 1, log2 - 1, recon)
+                self._commit_comp(batch, 2, log2 - 1, recon)
+        return recon
+
+    def _commit_comp(self, batch, c_idx, log2, recon):
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        s = 1 << log2
+        sh = 0 if c_idx == 0 else 1
+        xs = np.array([cu.x >> sh for cu in batch], dtype=np.int64)
+        ys = np.array([cu.y >> sh for cu in batch], dtype=np.int64)
+        masks_all = refs.avail_masks(W, H, s, 0 if c_idx == 0 else 1,
+                                     cfg.log2_ctu_size)
+        n_bw = (W >> sh) // s
+        midx = (ys // s) * n_bw + (xs // s)
+        masks = masks_all[midx]
+        u = refs.gather_u(recon[c_idx], xs, ys, s)
+        u = refs.substitute(u, masks, s)
+        v = intra_pred.make_v(u, s)
+        modes = np.array([cu.luma_mode if c_idx == 0 else cu.chroma_mode
+                          for cu in batch], dtype=np.int64)
+        pred = np_ops.predict_modes_np(v, modes, s, 0 if c_idx == 0 else 1)
+        pred = pred.reshape(-1, s, s)
+        org = np.stack([self.orig[c_idx][y:y + s, x:x + s]
+                        for x, y in zip(xs, ys)])
+        res = org - pred
+        t = np_ops.forward_dct2_np(res)
+        qpar = self.qpar[(min(c_idx, 1), log2)]
+        lam_dq = np.asarray(self.lam_dq_trellis if self.trellis_commit
+                            else self.lam_dq_greedy)
+        if cfg.dep_quant_enabled:
+            from ..entropy import native
+            if native.available():
+                fn = (native.trellis_quant_native if self.trellis_commit
+                      else native.greedy_quant_native)
+                q = fn(t, qpar.ls, qpar.bd_shift, lam_dq, log2)
+            elif self.trellis_commit:
+                q = np_ops.trellis_depquant_np(t, qpar.ls, qpar.bd_shift,
+                                               lam_dq, log2)
+            else:
+                q = np_ops.greedy_depquant_np(t, qpar.ls, qpar.bd_shift,
+                                              lam_dq, log2)
+        else:
+            q = np.stack([quant.quantize_rdoq_off(tt, qpar) for tt in t])
+        d = np_ops.dequantize_np(q, qpar.ls, qpar.bd_shift)
+        r = np_ops.inverse_dct2_np(d)
+        rec = np.clip(pred + r, 0, 255)
+        for i, cu in enumerate(batch):
+            recon[c_idx][ys[i]:ys[i] + s, xs[i]:xs[i] + s] = rec[i]
+            cu.coeffs[c_idx] = q[i]
+
+
+# ------------------------------------------------------------ jit helpers
+@functools.partial(jax.jit, static_argnums=(2, 7))
+def _stage_a_select(pred, orig, num_cands, ls, bd_shift, lam_dq, lv,
+                    log2, lam, mode_bits):
+    """pred (N,67,WH), orig (N,WH) -> best (mode, cost) per block."""
+    sad = jnp.abs(pred - orig[:, None, :]).sum(-1)           # (N,67)
+    ang = sad[:, 2:]
+    _, top = jax.lax.top_k(-ang, num_cands)                  # (N,K)
+    cands = jnp.concatenate(
+        [jnp.zeros((sad.shape[0], 1), jnp.int32),
+         jnp.ones((sad.shape[0], 1), jnp.int32),
+         (top + 2).astype(jnp.int32)], axis=1)               # (N,K+2)
+    K = num_cands + 2
+    s = 1 << log2
+    p = jnp.take_along_axis(pred, cands[:, :, None], axis=1)  # (N,K,WH)
+    p = p.reshape(-1, s, s)
+    o = jnp.repeat(orig[:, None, :], K, axis=1).reshape(-1, s, s)
+    ssd, rate = _rd_eval_inner(p, o, ls, bd_shift, lam_dq, lv, log2)
+    bits = mode_bits[cands]                                   # (N,K)
+    cost = (ssd.reshape(-1, K) + lam * (rate.reshape(-1, K) / 16384.0
+                                        + bits))
+    best = jnp.argmin(cost, axis=1)
+    mode = jnp.take_along_axis(cands, best[:, None], axis=1)[:, 0]
+    c = jnp.take_along_axis(cost, best[:, None], axis=1)[:, 0]
+    return mode, c
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _rd_eval(pred, orig, ls, bd_shift, lam_dq, lv, log2):
+    return _rd_eval_inner(pred, orig, ls, bd_shift, lam_dq, lv, log2)
+
+
+def _rd_eval_inner(pred, orig, ls, bd_shift, lam_dq, lv, log2):
+    """pred/orig (B,s,s) -> (ssd (B,) f32, rate (B,) f32)."""
+    res = orig.astype(jnp.int32) - pred.astype(jnp.int32)
+    t = transforms._forward(res)
+    q, rate = kq.greedy_depquant(t, ls, bd_shift, lam_dq, log2, lv)
+    d = kq.dequantize(q, ls, bd_shift)
+    r = transforms._inverse(d)
+    rec = jnp.clip(pred + r, 0, 255)
+    ssd = ((rec - orig.astype(jnp.int32)) ** 2).sum((1, 2))
+    return ssd.astype(jnp.float32), rate
