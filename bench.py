@@ -1,15 +1,21 @@
 #!/usr/bin/env python3
 """Benchmark: all-intra encode throughput (frames/s) on real hardware.
 
-Encodes synthetic CIF (352x288) frames at QP32 through the full pipeline
-(TPU wavefront search + commit + CABAC entropy + bitstream assembly) and
+Encodes the reference bus CIF clip (352x288, the content behind the
+published baseline numbers) at QP32 through the full pipeline (TPU
+wavefront search + commit + CABAC entropy + bitstream assembly) and
 prints ONE JSON line. Baseline: the reference encoder's ~1.0 fps on the
-same frame size/QP (BASELINE.md).
+same clip/QP (BASELINE.md; 30 frames in ~29.4 s at QP32).
+
+Falls back to synthetic frames if the clip (or OpenCV) is unavailable.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+BUS_CLIP = "/root/reference/assets/bus_352x288_30fps_30fr.mp4"
 
 
 def synth_frames(n, w, h, seed=0):
@@ -26,6 +32,17 @@ def synth_frames(n, w, h, seed=0):
     return frames
 
 
+def load_frames(n, w, h):
+    try:
+        from wrenc_tpu.tools.evaluate import load_clip_yuv
+        frames = load_clip_yuv(BUS_CLIP, n)
+        if len(frames) >= n and frames[0][0].shape == (h, w):
+            return frames[:n]
+    except Exception:
+        pass
+    return synth_frames(n, w, h, seed=1)
+
+
 def main():
     from wrenc_tpu.core.config import EncoderConfig
     from wrenc_tpu.encoder import Encoder
@@ -39,7 +56,7 @@ def main():
     warm = synth_frames(n, W, H, seed=99)
     enc.encode(warm)  # compile warmup (same batch shape as the timed run)
 
-    frames = synth_frames(n, W, H, seed=1)
+    frames = load_frames(n, W, H)
     t0 = time.perf_counter()
     stream, recons = enc.encode(frames)
     dt = time.perf_counter() - t0

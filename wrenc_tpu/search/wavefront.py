@@ -118,6 +118,8 @@ class WavefrontSearch:
         min_s = sizes[0]
         cost = None
         split = {}
+        self.cclm_choice = {}
+        self.scipu_choice = None
         for s in sizes:
             n_bw, n_bh = W // s, H // s
             lc = luma_cost[s].reshape(n_bh, n_bw)
@@ -128,11 +130,17 @@ class WavefrontSearch:
                 cost = leaf
                 continue
             cs = s // 2
-            # single-tree leaf: luma + derived-mode chroma + bits
+            # single-tree leaf: luma + best-of(derived, CCLM) chroma + bits
             ch = self._chroma_cached(chroma_cache, ('leaf', s), cs,
                                      luma_mode_b[s], fi)
-            leaf = (lc + ch.reshape(n_bh, n_bw)
-                    + self.lam * (hb + self._mode_bits[lm] + ncc))
+            ch_total = ch + self.lam * ncc
+            if cfg.cclm_enabled:
+                cc, cm = self._cclm_cached(chroma_cache, cs, fi)
+                use = cc < ch_total
+                self.cclm_choice[s] = np.where(use, cm, -1)
+                ch_total = np.where(use, cc, ch_total)
+            leaf = (lc + ch_total.reshape(n_bh, n_bw)
+                    + self.lam * (hb + self._mode_bits[lm]))
             if cost is None:
                 cost = leaf
                 split[s] = np.zeros_like(leaf, dtype=bool)
@@ -143,10 +151,16 @@ class WavefrontSearch:
                 # SCIPU: 4 luma-only children + one chroma CU whose mode is
                 # derived from the centre (bottom-right) 4x4 child
                 F = len(self.batch)
-                cm = luma_mode_b[4].reshape(F, H // 4, W // 4)[:, 1::2, 1::2]
+                cm4 = luma_mode_b[4].reshape(F, H // 4, W // 4)[:, 1::2, 1::2]
                 ch_sc = self._chroma_cached(chroma_cache, ('scipu', 8), 4,
-                                            cm.reshape(F, -1), fi)
-                agg = agg + ch_sc.reshape(n_bh, n_bw) + self.lam * (chb + ncc)
+                                            cm4.reshape(F, -1), fi)
+                sc_total = ch_sc + self.lam * ncc
+                if cfg.cclm_enabled:
+                    cc, cm = self._cclm_cached(chroma_cache, 4, fi)
+                    use = cc < sc_total
+                    self.scipu_choice = np.where(use, cm, -1)
+                    sc_total = np.where(use, cc, sc_total)
+                agg = agg + sc_total.reshape(n_bh, n_bw) + self.lam * chb
             split_here = agg <= leaf
             split[s] = split_here
             cost = np.where(split_here, agg, leaf)
@@ -188,6 +202,53 @@ class WavefrontSearch:
         if key not in cache:
             cache[key] = self._stage_a_chroma_batch(cs, modes_b)
         return cache[key][fi]
+
+    def _cclm_cached(self, cache, cs, fi):
+        key = ('cclm', cs)
+        if key not in cache:
+            cache[key] = self._stage_a_cclm_batch(cs)
+        cc, cm = cache[key]
+        return cc[fi], cm[fi]
+
+    def _stage_a_cclm_batch(self, cs):
+        """Best-CCLM chroma cost per block (cb+cr, greedy RD on original
+        planes) for all frames. Returns (costs (F, N), modes (F, N))."""
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        log2 = cs.bit_length() - 1
+        F = len(self.batch)
+        xs, ys = refs.block_grid(W, H, cs, 1)
+        masks = refs.avail_masks(W, H, cs, 1, cfg.log2_ctu_size)
+        N = len(xs)
+        qpar = self.qpar[(1, log2)]
+        dep = cfg.dep_quant_enabled
+        co = self.rm.pick('cclm_offset', dep, True)
+        cio = self.rm.pick('cclm_mode_idx_offset', dep, True)
+        mode_bits = np.array([co + (i + cio) ** self.rm.cclm_pow
+                              for i in range(3)])
+        n_bw = (W // 2) // cs
+        preds, origs = [], []
+        for planes in self.batch:
+            for c_idx in (1, 2):
+                blk = planes[c_idx].reshape((H // 2) // cs, cs, n_bw, cs) \
+                    .transpose(0, 2, 1, 3).reshape(-1, cs, cs)
+                for m in (81, 82, 83):
+                    preds.append(np_ops.predict_cclm_np(
+                        m, planes[0], planes[c_idx], xs, ys, cs, masks,
+                        cfg.ctu_size))
+                    origs.append(blk)
+        pred = np.concatenate(preds)          # (F*2*3*N, cs, cs)
+        orig = np.concatenate(origs)
+        ssd, rate = _rd_eval(jnp.asarray(pred), jnp.asarray(orig),
+                             qpar.ls, qpar.bd_shift,
+                             jnp.asarray(self.lam_dq_greedy),
+                             jnp.asarray(self.lv_greedy), log2)
+        c = (np.asarray(ssd).astype(np.float64)
+             + self.lam * np.asarray(rate) / 16384.0).reshape(F, 2, 3, N)
+        c = c.sum(axis=1) + (self.lam * mode_bits)[None, :, None]  # (F,3,N)
+        best = np.argmin(c, axis=1)                                # (F,N)
+        cost = np.take_along_axis(c, best[:, None, :], axis=1)[:, 0]
+        return cost, (81 + best).astype(np.int32)
 
     def _stage_a_chroma_batch(self, cs, modes_b):
         """Chroma RD cost (cb+cr), all frames in one device call per comp.
@@ -254,13 +315,24 @@ class WavefrontSearch:
                 ch = CtNode(x, y, log2, cqt_depth, 'C', 'INTRA')
                 center = int(self.luma_mode[4][(y // 4 + 1) * (self.cfg.width // 4)
                                                + (x // 4 + 1)])
+                if self.scipu_choice is not None:
+                    idx = (y // 8) * (self.cfg.width // 8) + x // 8
+                    cc = int(self.scipu_choice[idx])
+                    if cc >= 0:
+                        center = cc
                 ch.cu = CuDecision(x, y, log2, 'C', luma_mode=0,
                                    chroma_mode=center)
                 node.children.append(ch)
         else:
-            m = int(self.luma_mode[s][(y // s) * (self.cfg.width // s) + x // s])
+            idx = (y // s) * (self.cfg.width // s) + x // s
+            m = int(self.luma_mode[s][idx])
+            cmode = m
+            if tree == 'S' and s in self.cclm_choice:
+                cc = int(self.cclm_choice[s][idx])
+                if cc >= 0:
+                    cmode = cc
             node.cu = CuDecision(x, y, log2, tree, luma_mode=m,
-                                 chroma_mode=(m if tree == 'S' else 0))
+                                 chroma_mode=(cmode if tree == 'S' else 0))
         return node
 
     # ------------------------------------------------------------- commit
@@ -306,6 +378,12 @@ class WavefrontSearch:
                                 max(x4 - 1, 0):min(x4 + 2 * n4, W // 4)]
                 if row.size:
                     r = max(r, int(row.max()))
+            # own region: nonzero only for the SCIPU chroma CU (its luma
+            # children share these cells) — CCLM reads their co-located
+            # luma reconstruction, so it must commit after them
+            own = rank_grid[y4:y4 + n4, x4:x4 + n4]
+            if own.size:
+                r = max(r, int(own.max()))
             ranks[i] = r + 1
             # max, not assignment: the SCIPU chroma CU shares cells with its
             # luma children and must not lower their recorded ranks
@@ -339,13 +417,23 @@ class WavefrontSearch:
         n_bw = (W >> sh) // s
         midx = (ys // s) * n_bw + (xs // s)
         masks = masks_all[midx]
-        u = refs.gather_u(recon[c_idx], xs, ys, s)
-        u = refs.substitute(u, masks, s)
-        v = intra_pred.make_v(u, s)
         modes = np.array([cu.luma_mode if c_idx == 0 else cu.chroma_mode
                           for cu in batch], dtype=np.int64)
-        pred = np_ops.predict_modes_np(v, modes, s, 0 if c_idx == 0 else 1)
-        pred = pred.reshape(-1, s, s)
+        is_cclm = modes >= 81
+        pred = np.zeros((len(batch), s, s), dtype=np.int32)
+        norm = np.where(~is_cclm)[0]
+        if norm.size:
+            u = refs.gather_u(recon[c_idx], xs[norm], ys[norm], s)
+            u = refs.substitute(u, masks[norm], s)
+            v = intra_pred.make_v(u, s)
+            pred[norm] = np_ops.predict_modes_np(
+                v, modes[norm], s, 0 if c_idx == 0 else 1).reshape(-1, s, s)
+        for m in (81, 82, 83):
+            sel = np.where(modes == m)[0]
+            if sel.size:
+                pred[sel] = np_ops.predict_cclm_np(
+                    m, recon[0], recon[c_idx], xs[sel], ys[sel], s,
+                    masks[sel], cfg.ctu_size)
         org = np.stack([self.orig[c_idx][y:y + s, x:x + s]
                         for x, y in zip(xs, ys)])
         res = org - pred
