@@ -393,9 +393,11 @@ def parse_ph(rbsp, p):
     return p
 
 
-def write_sh(w, cfg, slice_qp):
+def write_sh(w, cfg, slice_qp, entry_lens=None):
     """Slice header bits into writer `w` (slice data follows byte-aligned;
-    slice_encoder.rs:32-341)."""
+    slice_encoder.rs:32-341). With WPP (entropy_coding_sync), `entry_lens`
+    holds the byte length of each subset except the last; they become
+    sh_entry_point_offset_minus1 (slice_encoder.rs:302-333)."""
     init_qp = max(cfg.qp, 26)
     w.bit(0)                     # sh_picture_header_in_slice_header_flag
     w.bit(0)                     # sh_no_output_of_prior_pics_flag
@@ -406,6 +408,12 @@ def write_sh(w, cfg, slice_qp):
         w.bit(0)                 # sh_sign_data_hiding_used_flag
     if cfg.transform_skip_enabled and not cfg.dep_quant_enabled:
         w.bit(0)                 # sh_ts_residual_coding_disabled_flag
+    if entry_lens:
+        olen = max(int(v - 1).bit_length() for v in entry_lens)
+        olen = max(olen, 1)
+        w.ue(olen - 1)           # sh_entry_offset_len_minus1
+        for v in entry_lens:
+            w.u(v - 1, olen)     # sh_entry_point_offset_minus1
     w.bit(1)                     # byte_alignment bit
     w.byte_align()
 
@@ -425,6 +433,13 @@ def parse_sh(r, p):
         p.sign_data_hiding_used = bool(r.bit())
     if p.transform_skip_enabled and not p.dep_quant_used and not p.sign_data_hiding_used:
         p.ts_residual_coding_disabled = bool(r.bit())
+    p.entry_lens = []
+    if p.entropy_coding_sync_enabled and p.entry_point_offsets_present:
+        ctu = 1 << p.log2_ctu_size
+        num_entry = (p.height + ctu - 1) // ctu - 1
+        if num_entry > 0:
+            olen = r.ue() + 1
+            p.entry_lens = [r.u(olen) + 1 for _ in range(num_entry)]
     assert r.bit() == 1
     r.byte_align()
     return p

@@ -50,16 +50,43 @@ class Decoder:
         cabac = CabacDecoder(r)
         syn = SliceSyntax(cabac, p, 'dec', on_cu=self._reconstruct_cu)
         cs = 1 << p.log2_ctu_size
-        n_ctus = (W // cs) * (H // cs)
-        idx = 0
-        for cy in range(0, H, cs):
-            for cx in range(0, W, cs):
-                node = CtNode(cx, cy, p.log2_ctu_size)
-                syn.code_ctu(node, first_in_slice=(idx == 0))
-                end = cabac.decode_terminate()
-                last = (idx == n_ctus - 1)
-                assert end == (1 if last else 0), (idx, end)
-                idx += 1
+        n_cols, n_rows = W // cs, H // cs
+        n_ctus = n_cols * n_rows
+        wpp = p.entropy_coding_sync_enabled and n_rows > 1
+        if not wpp:
+            idx = 0
+            for cy in range(0, H, cs):
+                for cx in range(0, W, cs):
+                    node = CtNode(cx, cy, p.log2_ctu_size)
+                    syn.code_ctu(node, first_in_slice=(idx == 0))
+                    end = cabac.decode_terminate()
+                    last = (idx == n_ctus - 1)
+                    assert end == (1 if last else 0), (idx, end)
+                    idx += 1
+        else:
+            # WPP: one CABAC subset per CTU row, located via the slice
+            # header entry points; contexts sync from the state stored
+            # after the first CTU of the row above
+            starts = [r.byte_pos]
+            for ln in p.entry_lens:
+                starts.append(starts[-1] + ln)
+            assert len(starts) == n_rows, (len(p.entry_lens), n_rows)
+            snap = None
+            for row in range(n_rows):
+                if row > 0:
+                    r.pos = starts[row] * 8
+                    cabac.ctx.restore(snap)
+                    cabac.init_engine()
+                for col in range(n_cols):
+                    idx = row * n_cols + col
+                    node = CtNode(col * cs, row * cs, p.log2_ctu_size)
+                    syn.code_ctu(node, first_in_slice=(idx == 0))
+                    if col == 0:
+                        snap = cabac.ctx.snapshot()
+                    end = cabac.decode_terminate()
+                    want = 1 if (idx == n_ctus - 1 or col == n_cols - 1) \
+                        else 0
+                    assert end == want, (row, col, end)
         self.frames.append(tuple(pl.astype(np.uint8) for pl in self.recon))
 
     # ------------------------------------------------------------------

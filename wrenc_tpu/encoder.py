@@ -50,16 +50,65 @@ class Encoder:
     def encode_slice(self, trees):
         """Entropy-code one slice from per-CTU decision trees -> RBSP."""
         cfg = self.cfg
-        w = BitWriter()
-        write_sh(w, cfg, cfg.qp)
+        n_cols = cfg.width >> cfg.log2_ctu_size
+        n_rows = cfg.height >> cfg.log2_ctu_size
+        wpp = cfg.entropy_coding_sync_enabled and n_rows > 1
+        if not wpp:
+            w = BitWriter()
+            write_sh(w, cfg, cfg.qp)
+            if self.use_native:
+                from .entropy import native
+                return w.bytes() + native.encode_slice_native(cfg, trees,
+                                                              cfg.qp)
+            cabac = CabacEncoder(w)
+            syn = SliceSyntax(cabac, cfg, 'enc')
+            n = len(trees)
+            for i, tree in enumerate(trees):
+                syn.code_ctu(tree, first_in_slice=(i == 0))
+                cabac.encode_terminate(1 if i == n - 1 else 0)
+            w.byte_align()
+            return w.bytes()
+        return self._encode_slice_wpp(trees, n_cols, n_rows)
+
+    def _encode_slice_wpp(self, trees, n_cols, n_rows):
+        """WPP (entropy_coding_sync) slice: one CABAC subset per CTU row.
+
+        Context state is stored after the first CTU of each row and the next
+        row's contexts sync from it; each non-final row ends with
+        end_of_subset_one_bit (terminate), an engine flush and byte
+        alignment, and its byte length becomes a slice-header entry-point
+        offset (slice_encoder.rs:302-333,380-411; bool_coder.rs:1096-1104).
+        """
+        cfg = self.cfg
         if self.use_native:
             from .entropy import native
-            return w.bytes() + native.encode_slice_native(cfg, trees, cfg.qp)
-        cabac = CabacEncoder(w)
+            if native.wpp_supported():
+                lens, data = native.encode_slice_wpp_native(cfg, trees,
+                                                            cfg.qp)
+                w = BitWriter()
+                write_sh(w, cfg, cfg.qp, entry_lens=lens)
+                return w.bytes() + data
+        sd = BitWriter()
+        cabac = CabacEncoder(sd)
         syn = SliceSyntax(cabac, cfg, 'enc')
-        n = len(trees)
-        for i, tree in enumerate(trees):
-            syn.code_ctu(tree, first_in_slice=(i == 0))
-            cabac.encode_terminate(1 if i == n - 1 else 0)
-        w.byte_align()
-        return w.bytes()
+        marks = []
+        snap = None
+        for row in range(n_rows):
+            if row > 0:
+                cabac.init_engine()
+                cabac.ctx.restore(snap)
+            for col in range(n_cols):
+                i = row * n_cols + col
+                syn.code_ctu(trees[i], first_in_slice=(i == 0))
+                if col == 0:
+                    snap = cabac.ctx.snapshot()
+                last_ctu = (i == len(trees) - 1)
+                cabac.encode_terminate(
+                    1 if (last_ctu or col == n_cols - 1) else 0)
+            sd.byte_align()
+            marks.append(len(sd._bytes))
+        lens = [marks[r] - (marks[r - 1] if r else 0)
+                for r in range(n_rows - 1)]
+        w = BitWriter()
+        write_sh(w, cfg, cfg.qp, entry_lens=lens)
+        return w.bytes() + sd.bytes()

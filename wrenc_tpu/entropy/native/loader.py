@@ -130,13 +130,14 @@ def _ctx_arrays():
     return se_off, inits[0].astype(np.int32), shifts[0].astype(np.int32)
 
 
-def encode_slice_native(cfg, trees, slice_qp):
-    """Entropy-code one slice's CTU decision trees -> CABAC payload bytes."""
+def _encode_slice(cfg, trees, slice_qp, wpp):
     lib = _get()
     nodes, cu_data, coeff_offs, coeffs = serialize_decisions(trees)
     se_off, inits, shifts = _ctx_arrays()
     cap = max(1 << 16, coeffs.size * 8 + 4096)
     out = np.zeros(cap, dtype=np.uint8)
+    n_rows = cfg.height >> cfg.log2_ctu_size
+    marks = np.zeros(max(n_rows, 1), dtype=np.int64)
     n = lib.wrenc_encode_slice(
         ctypes.c_int(cfg.width), ctypes.c_int(cfg.height),
         ctypes.c_int(cfg.log2_ctu_size), ctypes.c_int(slice_qp),
@@ -150,6 +151,26 @@ def encode_slice_native(cfg, trees, slice_qp):
         coeff_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int64(cap))
+        ctypes.c_int64(cap),
+        ctypes.c_int(1 if wpp else 0),
+        marks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     assert n > 0, "native slice buffer overflow"
-    return bytes(out[:n])
+    return bytes(out[:n]), marks
+
+
+def encode_slice_native(cfg, trees, slice_qp):
+    """Entropy-code one slice's CTU decision trees -> CABAC payload bytes."""
+    return _encode_slice(cfg, trees, slice_qp, wpp=False)[0]
+
+
+def wpp_supported():
+    return available()
+
+
+def encode_slice_wpp_native(cfg, trees, slice_qp):
+    """WPP slice: returns (entry_lens, payload bytes)."""
+    data, marks = _encode_slice(cfg, trees, slice_qp, wpp=True)
+    n_rows = cfg.height >> cfg.log2_ctu_size
+    lens = [int(marks[r] - (marks[r - 1] if r else 0))
+            for r in range(n_rows - 1)]
+    return lens, data

@@ -776,7 +776,12 @@ extern "C" int64_t wrenc_encode_slice(
     const int64_t* coeff_offs,              // 3 per CU
     const int16_t* coeffs,
     // output buffer (caller-allocated)
-    uint8_t* out_buf, int64_t out_cap) {
+    uint8_t* out_buf, int64_t out_cap,
+    // WPP (entropy_coding_sync): one CABAC subset per CTU row, context
+    // storage after the first CTU of a row + sync at the next row start
+    // (slice_encoder.rs:380-411, bool_coder.rs:1096-1104). marks_out
+    // (n_rows entries) receives the cumulative byte size after each row.
+    int wpp, int64_t* marks_out) {
   SliceCoder sc;
   sc.W = W; sc.H = H; sc.log2_ctu = log2_ctu; sc.qp = qp;
   sc.dep_quant = dep_quant; sc.transform_skip_enabled = ts_enabled;
@@ -819,17 +824,32 @@ extern "C" int64_t wrenc_encode_slice(
   }
 
   int cs = 1 << log2_ctu;
-  int n_ctu = (W / cs) * (H / cs);
+  int n_cols = W / cs, n_rows = H / cs;
+  int n_ctu = n_cols * n_rows;
   size_t pos = 0;
   int idx = 0;
-  for (int cy = 0; cy < H; cy += cs)
-    for (int cx = 0; cx < W; cx += cs) {
+  std::vector<uint16_t> snap0, snap1;
+  for (int r = 0; r < n_rows; ++r) {
+    if (wpp && r > 0) {
+      sc.c.init_engine();
+      sc.c.s0 = snap0;
+      sc.c.s1 = snap1;
+    }
+    for (int col = 0; col < n_cols; ++col) {
       sc.cu_qp_delta_coded = false;
-      pos = sc.code_tree(nodes, pos, cus.data(), cx, cy, log2_ctu, 0);
-      sc.c.terminate(idx == n_ctu - 1 ? 1 : 0);
+      pos = sc.code_tree(nodes, pos, cus.data(), col * cs, r * cs,
+                         log2_ctu, 0);
+      if (wpp && col == 0) { snap0 = sc.c.s0; snap1 = sc.c.s1; }
+      bool last = idx == n_ctu - 1;
+      sc.c.terminate((last || (wpp && col == n_cols - 1)) ? 1 : 0);
       ++idx;
     }
-  sink.align(0);
+    if (wpp) {
+      sink.align(0);
+      if (marks_out) marks_out[r] = (int64_t)out.size();
+    }
+  }
+  if (!wpp) sink.align(0);
   if ((int64_t)out.size() > out_cap) return -1;
   std::memcpy(out_buf, out.data(), out.size());
   return (int64_t)out.size();

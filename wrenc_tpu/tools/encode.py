@@ -32,6 +32,9 @@ def main(argv=None):
                     help="rate-model overrides KEY=VAL,...")
     ap.add_argument("--search", choices=["wavefront", "scalar"],
                     default="wavefront")
+    ap.add_argument("--wpp", action="store_true",
+                    help="entropy_coding_sync: one CABAC subset per CTU row "
+                         "with slice-header entry points")
     ap.add_argument("--batch", type=int, default=8,
                     help="frames per TPU batch (wavefront search)")
     args = ap.parse_args(argv)
@@ -43,6 +46,9 @@ def main(argv=None):
     w, h = parse_size(args.output_size)
     cfg = EncoderConfig(width=w, height=h, qp=args.qp,
                         max_split_depth=args.max_split_depth)
+    if args.wpp:
+        cfg.entropy_coding_sync_enabled = True
+        cfg.entry_point_offsets_present = True
     if args.extra_params:
         cfg.rate_model.apply_extra_params(
             dict(kv.split("=") for kv in args.extra_params.split(",")))
