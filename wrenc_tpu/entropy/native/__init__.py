@@ -1,2 +1,3 @@
-from .loader import (available, encode_slice_native, encode_slice_wpp_native,
+from .loader import (available, commit_frames_native, commit_supported,
+                     encode_slice_native, encode_slice_wpp_native,
                      greedy_quant_native, trellis_quant_native, wpp_supported)

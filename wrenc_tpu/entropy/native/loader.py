@@ -22,7 +22,7 @@ _failed = False
 def _build():
     subprocess.run(
         ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         _SRC, "-o", _SO],
+         "-pthread", _SRC, "-o", _SO],
         check=True, capture_output=True)
 
 
@@ -39,6 +39,7 @@ def _get():
             lib.wrenc_trellis_quant.restype = None
             lib.wrenc_greedy_quant.restype = None
             lib.wrenc_encode_slice.restype = ctypes.c_int64
+            lib.wrenc_commit_frames.restype = None
             _lib = lib
         except Exception:
             _failed = True
@@ -174,3 +175,98 @@ def encode_slice_wpp_native(cfg, trees, slice_qp):
     lens = [int(marks[r] - (marks[r - 1] if r else 0))
             for r in range(n_rows - 1)]
     return lens, data
+
+
+def commit_supported():
+    return available()
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def commit_frames_native(cfg, origs, cu_lists, ls_tab, bd_tab, lam_dq,
+                         trellis, n_threads=0):
+    """Native commit: reconstruct all frames' CU decisions in coding order.
+
+    origs: list of (Y, Cb, Cr) int planes per frame. cu_lists: per-frame
+    CuDecision lists in coding order. Fills cu.coeffs in place and returns
+    the recon planes per frame.
+    """
+    import os
+    from ...core import tables
+    lib = _get()
+    F = len(origs)
+    W, H = cfg.width, cfg.height
+    oy = np.ascontiguousarray(
+        np.stack([o[0] for o in origs]), dtype=np.int32)
+    ocb = np.ascontiguousarray(
+        np.stack([o[1] for o in origs]), dtype=np.int32)
+    ocr = np.ascontiguousarray(
+        np.stack([o[2] for o in origs]), dtype=np.int32)
+    ry = np.zeros_like(oy)
+    rcb = np.zeros_like(ocb)
+    rcr = np.zeros_like(ocr)
+
+    meta = []
+    frame_off = [0]
+    coeff_off = []
+    total = 0
+    for cus in cu_lists:
+        for cu in cus:
+            meta.extend([cu.x, cu.y, cu.log2, _TREE_ID[cu.tree],
+                         cu.luma_mode, cu.chroma_mode])
+            for c in range(3):
+                has = (c == 0 and cu.tree != 'C') or (c > 0 and cu.tree != 'L')
+                if has:
+                    sz = (1 << (cu.log2 - (0 if c == 0 else 1))) ** 2
+                    coeff_off.append(total)
+                    total += sz
+                else:
+                    coeff_off.append(-1)
+        frame_off.append(frame_off[-1] + len(cus))
+    meta = np.array(meta, dtype=np.int32)
+    frame_off = np.array(frame_off, dtype=np.int64)
+    coeff_off = np.array(coeff_off, dtype=np.int64)
+    coeffs = np.zeros(max(total, 1), dtype=np.int16)
+
+    def c32(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    dcts = [c32(tables.dct2_matrix(n)) for n in (4, 8, 16, 32)]
+    angle = c32(tables.INTRA_ANGLE_TABLE)
+    fcm = c32(tables.F_C)
+    fgm = c32(tables.F_G)
+    pdpcw = c32(tables.PDPC_WEIGHTS)
+    cclmd = c32(tables.CCLM_DIV_SIG_TABLE)
+    ls_tab = c32(ls_tab)
+    bd_tab = c32(bd_tab)
+    lam = c32(lam_dq)
+    if n_threads <= 0:
+        n_threads = min(F, os.cpu_count() or 1)
+
+    lib.wrenc_commit_frames(
+        ctypes.c_int(W), ctypes.c_int(H), ctypes.c_int(cfg.log2_ctu_size),
+        ctypes.c_int(F), ctypes.c_int(n_threads),
+        _i32p(oy), _i32p(ocb), _i32p(ocr),
+        _i32p(ry), _i32p(rcb), _i32p(rcr),
+        _i32p(meta), _i64p(frame_off), _i64p(coeff_off),
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        _i32p(ls_tab), _i32p(bd_tab), _i32p(lam),
+        ctypes.c_int(1 if cfg.dep_quant_enabled else 0),
+        ctypes.c_int(1 if trellis else 0),
+        _i32p(dcts[0]), _i32p(dcts[1]), _i32p(dcts[2]), _i32p(dcts[3]),
+        _i32p(angle), _i32p(fcm), _i32p(fgm), _i32p(pdpcw), _i32p(cclmd))
+
+    k = 0
+    for cus in cu_lists:
+        for cu in cus:
+            for c in range(3):
+                off = coeff_off[k]
+                k += 1
+                if off < 0:
+                    continue
+                s = 1 << (cu.log2 - (0 if c == 0 else 1))
+                cu.coeffs[c] = coeffs[off:off + s * s] \
+                    .reshape(s, s).copy()
+    return [(ry[f], rcb[f], rcr[f]) for f in range(F)]

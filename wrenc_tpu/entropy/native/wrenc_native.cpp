@@ -854,3 +854,642 @@ extern "C" int64_t wrenc_encode_slice(
   std::memcpy(out_buf, out.data(), out.size());
   return (int64_t)out.size();
 }
+
+// ============================================================ commit engine
+// Native reconstruction/commit pass: walk a frame's CU decisions in coding
+// order and run predict -> residual -> forward DCT-II -> dependent-quant ->
+// dequant -> inverse -> reconstruct, bit-exact with the Python spec model
+// (wrenc_tpu/spec/{intra,transform,quant}.py; behavioural reference
+// intra_predictor.rs / transformer.rs / quantizer.rs). This replaces the
+// NumPy wavefront commit pass on the host hot path.
+#include <atomic>
+#include <thread>
+
+namespace {
+
+struct CommitTabs {
+  const int32_t* dct[4];        // 4/8/16/32 forward DCT-II (n x n)
+  const int32_t* angle;         // 95 entries, index 14+mode
+  const int32_t* fc;            // 32x4
+  const int32_t* fg;            // 32x4
+  const int32_t* pdpc_w;        // 3x64
+  const int32_t* cclm_div;      // 16
+  const int32_t* ls_tab;        // [2][4] by (min(c,1), log2-2)
+  const int32_t* bd_tab;        // [2][4]
+  const int32_t* lam_dq;        // 1024
+  int dep_quant, trellis;
+};
+
+inline int ilog2i(int v) { return 31 - __builtin_clz((unsigned)v); }
+
+struct FrameCommitter {
+  int W, H, log2_ctu;
+  int32_t* plane[3];            // recon planes (written)
+  const int32_t* orig[3];       // original planes
+  const CommitTabs* tabs;
+
+  static uint64_t morton(int x, int y) {
+    uint64_t z = 0;
+    for (int b = 0; b < 16; ++b) {
+      z |= (uint64_t)((x >> b) & 1) << (2 * b);
+      z |= (uint64_t)((y >> b) & 1) << (2 * b + 1);
+    }
+    return z;
+  }
+  bool avail(int cx, int cy, int nx, int ny) const {
+    if (nx < 0 || ny < 0 || nx >= W || ny >= H) return false;
+    int ccx = cx >> log2_ctu, ccy = cy >> log2_ctu;
+    int ncx = nx >> log2_ctu, ncy = ny >> log2_ctu;
+    if (ncy != ccy) return ncy < ccy;
+    if (ncx != ccx) return ncx < ccx;
+    int m = (1 << log2_ctu) - 1;
+    return morton(nx & m, ny & m) < morton(cx & m, cy & m);
+  }
+
+  // ---- reference samples (spec 8.4.5.2.8; spec/intra.py gather_ref_samples)
+  // left: ref_h+1 entries, left[0] = corner; above: ref_w entries.
+  void gather_refs(int c, int cx, int cy, int s, int lx, int ly,
+                   int32_t* left, int32_t* above) const {
+    int shift = c == 0 ? 0 : 1;
+    int ref_w = 2 * s, ref_h = 2 * s;
+    int pw = W >> shift, ph = H >> shift;
+    const int32_t* pl = plane[c];
+    for (int k = 0; k <= ref_h; ++k) {
+      int ny = cy - 1 + k, nx = cx - 1;
+      left[k] = (nx >= 0 && ny >= 0 && ny < ph
+                 && avail(lx, ly, nx << shift, ny << shift))
+                    ? pl[ny * pw + nx] : -1;
+    }
+    for (int k = 0; k < ref_w; ++k) {
+      int ny = cy - 1, nx = cx + k;
+      above[k] = (ny >= 0 && nx < pw
+                  && avail(lx, ly, nx << shift, ny << shift))
+                     ? pl[ny * pw + nx] : -1;
+    }
+    bool any = false;
+    for (int k = 0; k <= ref_h && !any; ++k) any = left[k] >= 0;
+    for (int k = 0; k < ref_w && !any; ++k) any = above[k] >= 0;
+    if (!any) {
+      for (int k = 0; k <= ref_h; ++k) left[k] = 128;
+      for (int k = 0; k < ref_w; ++k) above[k] = 128;
+      return;
+    }
+    if (left[ref_h] < 0) {
+      bool found = false;
+      for (int i = ref_h - 1; i >= 0; --i)
+        if (left[i] >= 0) { left[ref_h] = left[i]; found = true; break; }
+      if (!found)
+        for (int k = 0; k < ref_w; ++k)
+          if (above[k] >= 0) { left[ref_h] = above[k]; break; }
+    }
+    for (int i = ref_h - 1; i >= 0; --i)
+      if (left[i] < 0) left[i] = left[i + 1];
+    if (above[0] < 0) above[0] = left[0];
+    for (int i = 1; i < ref_w; ++i)
+      if (above[i] < 0) above[i] = above[i - 1];
+  }
+
+  static bool ref_filter_mode(int m) {
+    switch (m) {
+      case 0: case -14: case -12: case -10: case -6: case 2: case 34:
+      case 66: case 72: case 76: case 78: case 80: return true;
+      default: return false;
+    }
+  }
+
+  // [1 2 1] smoothing (8.4.5.2.10); in place via temporaries
+  static void filter_refs(int32_t* left, int32_t* above, int s, int c,
+                          int mode) {
+    if (!(s * s > 32 && c == 0 && ref_filter_mode(mode))) return;
+    int ref_w = 2 * s, ref_h = 2 * s;
+    int32_t lf[65], af[64];
+    lf[0] = (left[1] + 2 * left[0] + above[0] + 2) >> 2;
+    for (int y = 0; y < ref_h - 1; ++y)
+      lf[1 + y] = (left[2 + y] + 2 * left[1 + y] + left[y] + 2) >> 2;
+    lf[ref_h] = left[ref_h];
+    af[0] = (left[0] + 2 * above[0] + above[1] + 2) >> 2;
+    for (int x = 0; x < ref_w - 2; ++x)
+      af[1 + x] = (above[x] + 2 * above[x + 1] + above[x + 2] + 2) >> 2;
+    af[ref_w - 1] = above[ref_w - 1];
+    std::memcpy(left, lf, sizeof(int32_t) * (ref_h + 1));
+    std::memcpy(above, af, sizeof(int32_t) * ref_w);
+  }
+
+  // ---- PDPC (8.4.5.2.15; spec/intra.py _pdpc). l = p[-1][y] (2s), a =
+  // p[x][-1] (2s), corner = p[-1][-1].
+  void pdpc(int32_t* pred, int mode, int inv_angle, const int32_t* l,
+            const int32_t* a, int corner, int s) const {
+    int log2s = ilog2i(s);
+    int ns;
+    if (mode > 50) ns = std::min(2, log2s - ilog2i(3 * inv_angle - 2) + 8);
+    else if (mode > 1 && mode < 18)
+      ns = std::min(2, log2s - ilog2i(3 * inv_angle - 2) + 8);
+    else ns = (2 * log2s - 2) >> 2;
+    const int32_t* w = tabs->pdpc_w + ns * 64;
+    if (mode < 2) {
+      for (int y = 0; y < s; ++y)
+        for (int x = 0; x < s; ++x) {
+          int64_t wl = w[x], wt = w[y];
+          int64_t p = (int64_t)l[y] * wl + (int64_t)a[x] * wt
+                      + (64 - wt - wl) * pred[y * s + x] + 32;
+          int v = (int)(p >> 6);
+          pred[y * s + x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+        }
+    } else if (mode == 18 || mode == 50) {
+      for (int y = 0; y < s; ++y)
+        for (int x = 0; x < s; ++x) {
+          int64_t pv = pred[y * s + x];
+          int64_t rl = l[y] - corner + pv;
+          int64_t rt = a[x] - corner + pv;
+          int64_t wl = mode == 50 ? w[x] : 0;
+          int64_t wt = mode == 18 ? w[y] : 0;
+          int64_t p = rl * wl + rt * wt + (64 - wt - wl) * pv + 32;
+          int v = (int)(p >> 6);
+          pred[y * s + x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+        }
+    } else if (mode < 18) {
+      if (ns < 0) return;
+      for (int y = 0; y < s; ++y) {
+        int64_t wt = w[y];
+        int dx_int = (((y + 1) * inv_angle + 256) >> 9);
+        for (int x = 0; x < s; ++x) {
+          int64_t rt = 0;
+          if (y < (3 << ns)) {
+            int dx = x + dx_int;
+            rt = a[std::min(dx, 2 * s - 1)];
+          }
+          int64_t p = rt * wt + (64 - wt) * pred[y * s + x] + 32;
+          int v = (int)(p >> 6);
+          pred[y * s + x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+        }
+      }
+    } else {  // mode > 50
+      if (ns < 0) return;
+      for (int x = 0; x < s; ++x) {
+        int64_t wl = w[x];
+        int dy_int = (((x + 1) * inv_angle + 256) >> 9);
+        for (int y = 0; y < s; ++y) {
+          int64_t rl = 0;
+          if (x < (3 << ns)) {
+            int dy = y + dy_int;
+            rl = l[std::min(dy, 2 * s - 1)];
+          }
+          int64_t p = rl * wl + (64 - wl) * pred[y * s + x] + 32;
+          int v = (int)(p >> 6);
+          pred[y * s + x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+        }
+      }
+    }
+  }
+
+  // ---- PLANAR / DC / angular (spec/intra.py predict_*; square blocks only)
+  void predict(int c, int mode, const int32_t* left, const int32_t* above,
+               int s, int32_t* pred) const {
+    const int32_t* l = left + 1;  // p[-1][y]
+    const int32_t* a = above;     // p[x][-1]
+    int corner = left[0];
+    int log2s = ilog2i(s);
+    if (mode == 0) {
+      for (int y = 0; y < s; ++y)
+        for (int x = 0; x < s; ++x) {
+          int64_t pv = ((int64_t)(s - 1 - y) * a[x] + (int64_t)(y + 1) * l[s])
+                       << log2s;
+          int64_t ph = ((int64_t)(s - 1 - x) * l[y] + (int64_t)(x + 1) * a[s])
+                       << log2s;
+          pred[y * s + x] = (int32_t)((pv + ph + (int64_t)s * s)
+                                      >> (2 * log2s + 1));
+        }
+      if (s >= 4) pdpc(pred, 0, 0, l, a, corner, s);
+      return;
+    }
+    if (mode == 1) {
+      int64_t sum = 0;
+      for (int x = 0; x < s; ++x) sum += a[x];
+      for (int y = 0; y < s; ++y) sum += l[y];
+      int dc = (int)((sum + s) >> (log2s + 1));
+      for (int i = 0; i < s * s; ++i) pred[i] = dc;
+      if (s >= 4) pdpc(pred, 1, 0, l, a, corner, s);
+      return;
+    }
+    // angular; wide-angle map is identity for square blocks
+    int angle = tabs->angle[14 + mode];
+    int inv_angle = 0;
+    if (angle > 0) inv_angle = (512 * 32 + angle / 2) / angle;
+    else if (angle < 0) inv_angle = -((512 * 32 + (-angle) / 2) / (-angle));
+    bool ffl = false;
+    if (c == 0 && !ref_filter_mode(mode)) {
+      int n_tb_s = log2s;  // (log2+log2)>>1
+      int md = std::min(std::abs(mode - 50), std::abs(mode - 18));
+      int thres = n_tb_s == 2 ? 24 : (n_tb_s == 3 ? 14 : (n_tb_s == 4 ? 2 : 0));
+      ffl = md > thres;
+    }
+    const int32_t* filt = ffl ? tabs->fg : tabs->fc;
+    int32_t buf[200];
+    int32_t* rp = buf + 64;  // negative-index base
+    int lo, hi;              // valid index range [lo, hi]
+    if (mode >= 34) {
+      rp[0] = corner;
+      for (int x = 0; x <= s; ++x) rp[1 + x] = a[x];
+      hi = s + 1;
+      lo = 0;
+      if (angle < 0) {
+        for (int x = -s; x < 0; ++x) {
+          int idx = std::min((x * inv_angle + 256) >> 9, s);
+          rp[x] = left[idx];  // corner-inclusive lrs
+        }
+        lo = -s;
+      } else {
+        for (int x = s + 2; x < 2 * s; ++x) rp[x] = a[x - 1];
+        for (int x = 2 * s; x < 2 * s + 3; ++x) rp[x] = a[2 * s - 1];
+        hi = 2 * s + 2;
+      }
+      for (int y = 0; y < s; ++y) {
+        int i_idx = ((y + 1) * angle) >> 5;
+        int i_fact = ((y + 1) * angle) & 31;
+        for (int x = 0; x < s; ++x) {
+          int idx = x + i_idx;
+          if (c == 0) {
+            const int32_t* f = filt + i_fact * 4;
+            int64_t sm = 0;
+            for (int i = 0; i < 4; ++i) sm += (int64_t)f[i] * rp[idx + i];
+            int v = (int)((sm + 32) >> 6);
+            pred[y * s + x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+          } else if (i_fact != 0) {
+            pred[y * s + x] = (int32_t)(((32 - i_fact) * (int64_t)rp[idx + 1]
+                                         + i_fact * (int64_t)rp[idx + 2] + 16)
+                                        >> 5);
+          } else {
+            pred[y * s + x] = rp[idx + 1];
+          }
+        }
+      }
+    } else {
+      for (int x = 0; x < s + 2; ++x) rp[x] = left[x];
+      hi = s + 1;
+      lo = 0;
+      if (angle < 0) {
+        for (int x = -s; x < 0; ++x) {
+          int idx = std::min((x * inv_angle + 256) >> 9, s);
+          rp[x] = idx == 0 ? corner : a[idx - 1];
+        }
+        lo = -s;
+      } else {
+        for (int x = s + 2; x <= 2 * s; ++x) rp[x] = left[x];
+        rp[2 * s + 1] = left[2 * s];
+        rp[2 * s + 2] = left[2 * s];
+        hi = 2 * s + 2;
+      }
+      for (int x = 0; x < s; ++x) {
+        int i_idx = ((x + 1) * angle) >> 5;
+        int i_fact = ((x + 1) * angle) & 31;
+        for (int y = 0; y < s; ++y) {
+          int idx = y + i_idx;
+          if (c == 0) {
+            const int32_t* f = filt + i_fact * 4;
+            int64_t sm = 0;
+            for (int i = 0; i < 4; ++i) sm += (int64_t)f[i] * rp[idx + i];
+            int v = (int)((sm + 32) >> 6);
+            pred[y * s + x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+          } else if (i_fact != 0) {
+            pred[y * s + x] = (int32_t)(((32 - i_fact) * (int64_t)rp[idx + 1]
+                                         + i_fact * (int64_t)rp[idx + 2] + 16)
+                                        >> 5);
+          } else {
+            pred[y * s + x] = rp[idx + 1];
+          }
+        }
+      }
+    }
+    (void)lo; (void)hi;
+    if (s >= 4 && (mode <= 18 || (mode >= 50 && mode < 81)))
+      pdpc(pred, mode, inv_angle, l, a, corner, s);
+  }
+
+  // ---- CCLM (8.4.5.2.13/14; spec/intra.py predict_cclm), scalar port.
+  // (cx, cy, s) in chroma coords; luma pos = (2cx, 2cy).
+  void predict_cclm(int mode, int cx, int cy, int s, int32_t* pred) const {
+    int lx = 2 * cx, ly = 2 * cy, tw = s, th = s;
+    int lw = 2 * tw, lh = 2 * th;
+    const int32_t* luma = plane[0];
+    bool avail_l = avail(lx, ly, lx - 1, ly);
+    bool avail_t = avail(lx, ly, lx, ly - 1);
+
+    int num_top_right = 0;
+    if (mode == 83)
+      for (int x = tw; x < 2 * tw; ++x) {
+        if (!avail(lx, ly, lx + x * 2, ly - 1)) break;
+        ++num_top_right;
+      }
+    int num_below_left = 0;
+    if (mode == 82)
+      for (int y = th; y < 2 * th; ++y) {
+        if (!avail(lx, ly, lx - 1, ly + y * 2)) break;
+        ++num_below_left;
+      }
+
+    int num_samp_t, num_samp_l;
+    if (mode == 81) {
+      num_samp_t = avail_t ? tw : 0;
+      num_samp_l = avail_l ? th : 0;
+    } else {
+      num_samp_t = (avail_t && mode == 83)
+                       ? tw + std::min(num_top_right, th) : 0;
+      num_samp_l = (avail_l && mode == 82)
+                       ? th + std::min(num_below_left, tw) : 0;
+    }
+    if (num_samp_l == 0 && num_samp_t == 0) {
+      for (int i = 0; i < s * s; ++i) pred[i] = 128;
+      return;
+    }
+
+    bool b_ctu = (ly & ((1 << log2_ctu) - 1)) == 0;
+    bool num_is_4 = !(avail_t && avail_l && mode == 81);
+
+    auto picks = [&](int num, int* out) {
+      int start = num >> (2 + (num_is_4 ? 1 : 0));
+      int step = std::max(num >> (1 + (num_is_4 ? 1 : 0)), 1);
+      int cnt = std::min((1 + (num_is_4 ? 1 : 0)) << 1, num);
+      for (int p = 0; p < cnt; ++p) out[p] = start + p * step;
+      return cnt;
+    };
+    int pick_t[4] = {0}, pick_l[4] = {0};
+    int cnt_t = (avail_t && (mode == 81 || mode == 83))
+                    ? picks(num_samp_t, pick_t) : 0;
+    int cnt_l = (avail_l && (mode == 81 || mode == 82))
+                    ? picks(num_samp_l, pick_l) : 0;
+
+    auto gl = [&](int yy, int xx) -> int64_t {
+      if (yy < 0) yy = 0; if (yy >= H) yy = H - 1;
+      if (xx < 0) xx = 0; if (xx >= W) xx = W - 1;
+      return luma[yy * W + xx];
+    };
+    int cw = W >> 1, ch = H >> 1;
+    const int32_t* chroma = plane[pred_c_];
+    auto gc = [&](int yy, int xx) -> int64_t {
+      if (yy < 0) yy = 0; if (yy >= ch) yy = ch - 1;
+      if (xx < 0) xx = 0; if (xx >= cw) xx = cw - 1;
+      return chroma[yy * cw + xx];
+    };
+
+    // downsampled co-located luma; left column replicated when no left nbr
+    int64_t p_ds[32 * 32];
+    for (int y = 0; y < th; ++y)
+      for (int x = 0; x < tw; ++x) {
+        int xc = lx + 2 * x;
+        int xm = x == 0 ? (avail_l ? lx - 1 : lx) : xc - 1;
+        int xr = xc + 1;
+        int r0 = ly + 2 * y, r1 = r0 + 1;
+        p_ds[y * tw + x] = (gl(r0, xm) + gl(r1, xm) + 2 * gl(r0, xc)
+                            + 2 * gl(r1, xc) + gl(r0, xr) + gl(r1, xr) + 4)
+                           >> 3;
+      }
+
+    int64_t sel_y[4] = {0}, sel_c[4] = {0};
+    for (int i = 0; i < cnt_t; ++i) {
+      int p = pick_t[i];
+      sel_c[i] = gc(cy - 1, cx + p);
+      int xc = lx + 2 * p;
+      int xm = (p > 0 || avail_l) ? xc - 1 : lx;
+      int xr = xc + 1;
+      if (!b_ctu)
+        sel_y[i] = (gl(ly - 1, xm) + gl(ly - 2, xm) + 2 * gl(ly - 1, xc)
+                    + 2 * gl(ly - 2, xc) + gl(ly - 1, xr) + gl(ly - 2, xr)
+                    + 4) >> 3;
+      else
+        sel_y[i] = (gl(ly - 1, xm) + 2 * gl(ly - 1, xc) + gl(ly - 1, xr) + 2)
+                   >> 2;
+    }
+    for (int i = 0; i < cnt_l; ++i) {
+      int p = pick_l[i];
+      sel_c[cnt_t + i] = gc(cy + p, cx - 1);
+      int r0 = ly + 2 * p, r1 = r0 + 1;
+      sel_y[cnt_t + i] = (gl(r0, lx - 3) + gl(r1, lx - 3)
+                          + 2 * gl(r0, lx - 2) + 2 * gl(r1, lx - 2)
+                          + gl(r0, lx - 1) + gl(r1, lx - 1) + 4) >> 3;
+    }
+    if (cnt_t + cnt_l == 2) {
+      // two-point fallback (unreachable for s >= 4; kept for parity):
+      // new (0,1,2,3) = old (1,3,1,0)
+      int64_t y0 = sel_y[0], y1 = sel_y[1], y3 = sel_y[3];
+      int64_t c0 = sel_c[0], c1 = sel_c[1], c3 = sel_c[3];
+      sel_y[0] = y1; sel_y[1] = y3; sel_y[2] = y1; sel_y[3] = y0;
+      sel_c[0] = c1; sel_c[1] = c3; sel_c[2] = c1; sel_c[3] = c0;
+    }
+
+    int mn0 = 0, mn1 = 2, mx0 = 1, mx1 = 3;
+    if (sel_y[mn0] > sel_y[mn1]) std::swap(mn0, mn1);
+    if (sel_y[mx0] > sel_y[mx1]) std::swap(mx0, mx1);
+    if (sel_y[mn0] > sel_y[mx1]) { std::swap(mn0, mx0); std::swap(mn1, mx1); }
+    if (sel_y[mn1] > sel_y[mx0]) std::swap(mn1, mx0);
+    int64_t max_y = (sel_y[mx0] + sel_y[mx1] + 1) >> 1;
+    int64_t max_c = (sel_c[mx0] + sel_c[mx1] + 1) >> 1;
+    int64_t min_y = (sel_y[mn0] + sel_y[mn1] + 1) >> 1;
+    int64_t min_c = (sel_c[mn0] + sel_c[mn1] + 1) >> 1;
+
+    int64_t a = 0, b = min_c;
+    int k = 0;
+    int64_t diff = max_y - min_y;
+    if (diff != 0) {
+      int64_t diff_c = max_c - min_c;
+      int x_ = ilog2i((int)diff);
+      int norm = (int)(((diff << 4) >> x_) & 15);
+      x_ += norm != 0 ? 1 : 0;
+      int y_ = diff_c != 0 ? ilog2i((int)std::abs(diff_c)) + 1 : 0;
+      if (diff_c == 0) a = 0;
+      else a = (diff_c * (tabs->cclm_div[norm] | 8)
+                + ((int64_t)1 << (y_ - 1))) >> y_;
+      if (3 + x_ - y_ < 1) {
+        k = 1;
+        a = a < 0 ? -15 : (a > 0 ? 15 : 0);
+      } else {
+        k = 3 + x_ - y_;
+      }
+      b = min_c - ((a * min_y) >> k);
+    }
+    for (int y = 0; y < th; ++y)
+      for (int x = 0; x < tw; ++x) {
+        int64_t v = ((p_ds[y * tw + x] * a) >> k) + b;
+        pred[y * tw + x] = (int32_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+      }
+  }
+  mutable int pred_c_ = 1;  // chroma component being CCLM-predicted
+
+  // ---- transforms (spec/transform.py; DCT-II square, zero-out at 32)
+  const int32_t* dct_mat(int s) const {
+    return tabs->dct[ilog2i(s) - 2];
+  }
+  void forward_dct2(const int32_t* res, int s, int32_t* out) const {
+    const int32_t* T = dct_mat(s);
+    int log2s = ilog2i(s);
+    int shift1 = log2s - 1, shift2 = log2s + 6;
+    int64_t h[32 * 32];
+    for (int y = 0; y < s; ++y)
+      for (int i = 0; i < s; ++i) {
+        int64_t sm = 0;
+        for (int x = 0; x < s; ++x)
+          sm += (int64_t)res[y * s + x] * T[i * s + x];
+        h[y * s + i] = (sm + ((int64_t)1 << (shift1 - 1))) >> shift1;
+      }
+    for (int i = 0; i < s; ++i)
+      for (int x = 0; x < s; ++x) {
+        int64_t sm = 0;
+        for (int y = 0; y < s; ++y)
+          sm += (int64_t)T[i * s + y] * h[y * s + x];
+        out[i * s + x] = (int32_t)((sm + ((int64_t)1 << (shift2 - 1)))
+                                   >> shift2);
+      }
+  }
+  void inverse_dct2(const int16_t* d, int s, int32_t* out) const {
+    const int32_t* T = dct_mat(s);
+    int64_t v[32 * 32];
+    for (int y = 0; y < s; ++y)
+      for (int x = 0; x < s; ++x) {
+        int64_t sm = 0;
+        for (int i = 0; i < s; ++i)
+          sm += (int64_t)T[i * s + y] * d[i * s + x];
+        sm = (sm + 64) >> 7;
+        if (sm < -32768) sm = -32768;
+        if (sm > 32767) sm = 32767;
+        v[y * s + x] = sm;
+      }
+    int bd_shift = 12;  // 20 - bit_depth(8)
+    for (int y = 0; y < s; ++y)
+      for (int x = 0; x < s; ++x) {
+        int64_t sm = 0;
+        for (int i = 0; i < s; ++i)
+          sm += v[y * s + i] * T[i * s + x];
+        out[y * s + x] = (int32_t)((sm + (1 << (bd_shift - 1))) >> bd_shift);
+      }
+  }
+
+  // ---- one component of one CU
+  void commit_comp(int c, int x, int y, int log2, int mode,
+                   int16_t* coeff_out) const {
+    int sh = c == 0 ? 0 : 1;
+    int s = 1 << (log2 - sh);
+    int cx = x >> sh, cy = y >> sh;
+    int pw = W >> sh;
+    int32_t pred[32 * 32];
+    if (c != 0 && mode >= 81) {
+      pred_c_ = c;
+      predict_cclm(mode, cx, cy, s, pred);
+    } else {
+      int32_t left[65], above[64];
+      gather_refs(c, cx, cy, s, x, y, left, above);
+      filter_refs(left, above, s, c, mode);
+      predict(c, mode, left, above, s, pred);
+    }
+    int32_t res[32 * 32], t[32 * 32];
+    const int32_t* op = orig[c];
+    for (int yy = 0; yy < s; ++yy)
+      for (int xx = 0; xx < s; ++xx)
+        res[yy * s + xx] = op[(cy + yy) * pw + cx + xx]
+                           - pred[yy * s + xx];
+    forward_dct2(res, s, t);
+    int ci = c == 0 ? 0 : 1;
+    int32_t ls = tabs->ls_tab[ci * 4 + (log2 - sh - 2)];
+    int32_t bd = tabs->bd_tab[ci * 4 + (log2 - sh - 2)];
+    int16_t q[32 * 32];
+    if (tabs->dep_quant) {
+      if (tabs->trellis)
+        wrenc_trellis_quant(t, 1, log2 - sh, ls, bd, tabs->lam_dq, q);
+      else
+        wrenc_greedy_quant(t, 1, log2 - sh, ls, bd, tabs->lam_dq, q);
+    } else {
+      int64_t bd_off = ((int64_t)1 << bd) >> 1;
+      for (int i = 0; i < s * s; ++i) {
+        int64_t tq = ((int64_t)t[i] << bd) - bd_off;
+        int64_t v = tq >= 0 ? (tq + ls / 2) / ls : -((-tq + ls / 2) / ls);
+        q[i] = (int16_t)v;
+      }
+    }
+    std::memcpy(coeff_out, q, sizeof(int16_t) * s * s);
+    // dequant + inverse + reconstruct
+    int64_t bd_off = ((int64_t)1 << bd) >> 1;
+    int16_t d[32 * 32];
+    bool any = false;
+    for (int i = 0; i < s * s; ++i) {
+      int64_t v = ((int64_t)q[i] * ls + bd_off) >> bd;
+      if (v < -32768) v = -32768;
+      if (v > 32767) v = 32767;
+      d[i] = (int16_t)v;
+      any = any || q[i] != 0;
+    }
+    int32_t* rp = plane[c];
+    if (!any) {
+      for (int yy = 0; yy < s; ++yy)
+        for (int xx = 0; xx < s; ++xx)
+          rp[(cy + yy) * pw + cx + xx] = pred[yy * s + xx];
+      return;
+    }
+    int32_t r[32 * 32];
+    inverse_dct2(d, s, r);
+    for (int yy = 0; yy < s; ++yy)
+      for (int xx = 0; xx < s; ++xx) {
+        int v = pred[yy * s + xx] + r[yy * s + xx];
+        rp[(cy + yy) * pw + cx + xx] = v < 0 ? 0 : (v > 255 ? 255 : v);
+      }
+  }
+};
+
+}  // namespace
+
+// Commit a batch of frames' CU decisions: for each frame, walk CUs in
+// coding order and reconstruct. cu_meta: 6 int32 per CU (x, y, log2, tree,
+// luma_mode, chroma_mode); frame_off: F+1 offsets into the CU list;
+// coeff_off: 3 int64 per CU into coeffs_out (-1 = component absent).
+extern "C" void wrenc_commit_frames(
+    int W, int H, int log2_ctu, int n_frames, int n_threads,
+    const int32_t* orig_y, const int32_t* orig_cb, const int32_t* orig_cr,
+    int32_t* rec_y, int32_t* rec_cb, int32_t* rec_cr,
+    const int32_t* cu_meta, const int64_t* frame_off,
+    const int64_t* coeff_off, int16_t* coeffs_out,
+    const int32_t* ls_tab, const int32_t* bd_tab, const int32_t* lam_dq,
+    int dep_quant, int trellis,
+    const int32_t* dct4, const int32_t* dct8, const int32_t* dct16,
+    const int32_t* dct32, const int32_t* angle_tab, const int32_t* fc,
+    const int32_t* fg, const int32_t* pdpc_w, const int32_t* cclm_div) {
+  CommitTabs tabs;
+  tabs.dct[0] = dct4; tabs.dct[1] = dct8; tabs.dct[2] = dct16;
+  tabs.dct[3] = dct32;
+  tabs.angle = angle_tab; tabs.fc = fc; tabs.fg = fg; tabs.pdpc_w = pdpc_w;
+  tabs.cclm_div = cclm_div; tabs.ls_tab = ls_tab; tabs.bd_tab = bd_tab;
+  tabs.lam_dq = lam_dq; tabs.dep_quant = dep_quant; tabs.trellis = trellis;
+
+  int ysz = W * H, csz = (W / 2) * (H / 2);
+  auto run_frame = [&](int f) {
+    FrameCommitter fc_;
+    fc_.W = W; fc_.H = H; fc_.log2_ctu = log2_ctu; fc_.tabs = &tabs;
+    fc_.orig[0] = orig_y + (int64_t)f * ysz;
+    fc_.orig[1] = orig_cb + (int64_t)f * csz;
+    fc_.orig[2] = orig_cr + (int64_t)f * csz;
+    fc_.plane[0] = rec_y + (int64_t)f * ysz;
+    fc_.plane[1] = rec_cb + (int64_t)f * csz;
+    fc_.plane[2] = rec_cr + (int64_t)f * csz;
+    for (int64_t i = frame_off[f]; i < frame_off[f + 1]; ++i) {
+      const int32_t* m = cu_meta + i * 6;
+      int x = m[0], y = m[1], log2 = m[2], tree = m[3];
+      int lm = m[4], cm = m[5];
+      if (tree != 2)  // S or L: luma
+        fc_.commit_comp(0, x, y, log2, lm, coeffs_out + coeff_off[i * 3]);
+      if (tree != 1) {  // S or C: chroma
+        fc_.commit_comp(1, x, y, log2, cm,
+                        coeffs_out + coeff_off[i * 3 + 1]);
+        fc_.commit_comp(2, x, y, log2, cm,
+                        coeffs_out + coeff_off[i * 3 + 2]);
+      }
+    }
+  };
+  if (n_threads <= 1 || n_frames <= 1) {
+    for (int f = 0; f < n_frames; ++f) run_frame(f);
+  } else {
+    std::vector<std::thread> ts;
+    std::atomic_int next{0};
+    for (int t = 0; t < std::min(n_threads, n_frames); ++t)
+      ts.emplace_back([&] {
+        int f;
+        while ((f = next.fetch_add(1)) < n_frames) run_frame(f);
+      });
+    for (auto& th : ts) th.join();
+  }
+}

@@ -92,15 +92,43 @@ class WavefrontSearch:
             mode, cost = self._stage_a_luma_batch(s)      # (F, N) each
             luma_mode_b[s], luma_cost_b[s] = mode, cost
         chroma_cache = {}
-        out = []
+        all_trees = []
         for fi in range(F):
             self.orig = self.batch[fi]
-            res = self._decide_and_commit(
+            trees = self._decide_and_commit(
                 {s: luma_mode_b[s][fi] for s in sizes},
                 {s: luma_cost_b[s][fi] for s in sizes},
                 sizes, fi, luma_mode_b, chroma_cache)
-            out.append(res)
-        return out
+            all_trees.append(trees)
+        recons = self._commit_all(all_trees)
+        return list(zip(all_trees, recons))
+
+    def _commit_all(self, all_trees):
+        """Commit every frame's decisions against true reconstruction.
+
+        Uses the native C++ commit engine (coding-order walk, threaded
+        across frames) when available, else the NumPy rank-wavefront path.
+        """
+        from ..entropy import native
+        if native.commit_supported():
+            ls_tab = np.zeros((2, 4), dtype=np.int32)
+            bd_tab = np.zeros((2, 4), dtype=np.int32)
+            for c in (0, 1):
+                for log2 in (2, 3, 4, 5):
+                    qpar = self.qpar[(c, log2)]
+                    ls_tab[c, log2 - 2] = qpar.ls
+                    bd_tab[c, log2 - 2] = qpar.bd_shift
+            lam_dq = (self.lam_dq_trellis if self.trellis_commit
+                      else self.lam_dq_greedy)
+            cu_lists = [self._collect_cus(trees) for trees in all_trees]
+            return native.commit_frames_native(
+                self.cfg, self.batch, cu_lists, ls_tab, bd_tab, lam_dq,
+                self.trellis_commit)
+        recons = []
+        for fi, trees in enumerate(all_trees):
+            self.orig = self.batch[fi]
+            recons.append(self._commit(trees))
+        return recons
 
     def _decide_and_commit(self, luma_mode, luma_cost, sizes, fi,
                            luma_mode_b, chroma_cache):
@@ -166,10 +194,7 @@ class WavefrontSearch:
             cost = np.where(split_here, agg, leaf)
         self.split = split
         self.luma_mode = luma_mode
-
-        trees = self._assemble_trees()
-        recon = self._commit(trees)
-        return trees, recon
+        return self._assemble_trees()
 
     def _stage_a_luma_batch(self, s):
         """All-mode decision for every frame's s-blocks in one device call."""
