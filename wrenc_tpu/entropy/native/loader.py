@@ -40,6 +40,7 @@ def _get():
             lib.wrenc_greedy_quant.restype = None
             lib.wrenc_encode_slice.restype = ctypes.c_int64
             lib.wrenc_commit_frames.restype = None
+            lib.wrenc_chroma_stage_a.restype = None
             _lib = lib
         except Exception:
             _failed = True
@@ -270,3 +271,107 @@ def commit_frames_native(cfg, origs, cu_lists, ls_tab, bd_tab, lam_dq,
                 cu.coeffs[c] = coeffs[off:off + s * s] \
                     .reshape(s, s).copy()
     return [(ry[f], rcb[f], rcr[f]) for f in range(F)]
+
+
+def chroma_stage_a_native(cfg, origs, dmodes, scipu_modes, ls_c, bd_c,
+                          lam_dq, lv, n_threads=0):
+    """Chroma stage-A candidate RD on host (wrenc_chroma_stage_a).
+
+    origs: per-frame (Y, Cb, Cr) int planes. dmodes: {cs: (F, N) int32
+    derived modes or None} for cs in (4, 8, 16). scipu_modes: (F, N4) or
+    None. Returns {('d', cs): (ssd, rate), ('sc',): ..., ('cc', cs): ...}
+    with ssd (F[,3],N,2) int64 and rate float32 of the same shape.
+    """
+    import os
+    lib = _get()
+    F = len(origs)
+    W, H = cfg.width, cfg.height
+
+    def planes(idx):
+        return np.ascontiguousarray(np.stack([o[idx] for o in origs]),
+                                    dtype=np.int32)
+
+    oy, ocb, ocr = planes(0), planes(1), planes(2)
+    NULL32 = ctypes.POINTER(ctypes.c_int32)()
+
+    def n_of(cs):
+        return ((W // 2) // cs) * ((H // 2) // cs)
+
+    out = {}
+    dm_ptrs, d_out = [], []
+    cc_out = []
+    for cs in (4, 8, 16):
+        N = n_of(cs)
+        m = dmodes.get(cs)
+        if m is not None:
+            m = np.ascontiguousarray(m, dtype=np.int32)
+            dm_ptrs.append((m, _i32p(m)))
+            ssd = np.zeros((F, N, 2), dtype=np.int64)
+            rate = np.zeros((F, N, 2), dtype=np.float32)
+            out[('d', cs)] = (ssd, rate)
+            d_out.append((ssd, rate))
+        else:
+            dm_ptrs.append((None, NULL32))
+            d_out.append((np.zeros(1, np.int64), np.zeros(1, np.float32)))
+        if cfg.cclm_enabled and (m is not None or
+                                 (cs == 4 and scipu_modes is not None)):
+            ssd = np.zeros((F, 3, N, 2), dtype=np.int64)
+            rate = np.zeros((F, 3, N, 2), dtype=np.float32)
+            out[('cc', cs)] = (ssd, rate)
+            cc_out.append((ssd, rate))
+        else:
+            cc_out.append((np.zeros(1, np.int64), np.zeros(1, np.float32)))
+
+    if scipu_modes is not None:
+        scipu_modes = np.ascontiguousarray(scipu_modes, dtype=np.int32)
+        sc_ptr = _i32p(scipu_modes)
+        N4 = n_of(4)
+        sc_ssd = np.zeros((F, N4, 2), dtype=np.int64)
+        sc_rate = np.zeros((F, N4, 2), dtype=np.float32)
+        out[('sc',)] = (sc_ssd, sc_rate)
+    else:
+        sc_ptr = NULL32
+        sc_ssd = np.zeros(1, np.int64)
+        sc_rate = np.zeros(1, np.float32)
+
+    ls_c = np.ascontiguousarray(ls_c, dtype=np.int32)
+    bd_c = np.ascontiguousarray(bd_c, dtype=np.int32)
+    lam = np.ascontiguousarray(lam_dq, dtype=np.int32)
+    lvf = np.ascontiguousarray(lv, dtype=np.float32)
+    from ...core import tables
+
+    def c32(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    dcts = [c32(tables.dct2_matrix(n)) for n in (4, 8, 16, 32)]
+    angle = c32(tables.INTRA_ANGLE_TABLE)
+    fcm = c32(tables.F_C)
+    fgm = c32(tables.F_G)
+    pdpcw = c32(tables.PDPC_WEIGHTS)
+    cclmd = c32(tables.CCLM_DIV_SIG_TABLE)
+    if n_threads <= 0:
+        n_threads = min(F, os.cpu_count() or 1)
+
+    def i64p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def f32p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    lib.wrenc_chroma_stage_a(
+        ctypes.c_int(W), ctypes.c_int(H), ctypes.c_int(cfg.log2_ctu_size),
+        ctypes.c_int(F), ctypes.c_int(n_threads),
+        _i32p(oy), _i32p(ocb), _i32p(ocr),
+        dm_ptrs[0][1], dm_ptrs[1][1], dm_ptrs[2][1],
+        sc_ptr, ctypes.c_int(1 if cfg.cclm_enabled else 0),
+        _i32p(ls_c), _i32p(bd_c), _i32p(lam), f32p(lvf),
+        i64p(d_out[0][0]), f32p(d_out[0][1]),
+        i64p(d_out[1][0]), f32p(d_out[1][1]),
+        i64p(d_out[2][0]), f32p(d_out[2][1]),
+        i64p(sc_ssd), f32p(sc_rate),
+        i64p(cc_out[0][0]), f32p(cc_out[0][1]),
+        i64p(cc_out[1][0]), f32p(cc_out[1][1]),
+        i64p(cc_out[2][0]), f32p(cc_out[2][1]),
+        _i32p(dcts[0]), _i32p(dcts[1]), _i32p(dcts[2]), _i32p(dcts[3]),
+        _i32p(angle), _i32p(fcm), _i32p(fgm), _i32p(pdpcw), _i32p(cclmd))
+    return out

@@ -1493,3 +1493,214 @@ extern "C" void wrenc_commit_frames(
     for (auto& th : ts) th.join();
   }
 }
+
+// ====================================================== chroma stage A (RD)
+// Host-side chroma candidate RD: derived-mode and CCLM costs for every
+// aligned chroma block over ORIGINAL planes (the stage-A convention of
+// search/wavefront.py). Replaces per-size device round-trips; numerically
+// identical to kernels/quantize.greedy_depquant's fused RD (same greedy
+// decisions, same float32 accumulation order for the lv rate).
+namespace {
+
+void greedy_rd_block(const int32_t* t, int log2n, int32_t ls, int32_t bd,
+                     const int32_t* lam_dq, const float* lv, int16_t* q,
+                     float* rate_out) {
+  const int n = 1 << log2n;
+  const int P = n * n;
+  const int64_t bd_offset = (int64_t{1} << bd) >> 1;
+  const auto& sx = g_scan.scan_x[log2n];
+  const auto& sy = g_scan.scan_y[log2n];
+  int q_state = 0;
+  bool trailing = true;
+  float rate = 0.0f;
+  for (int p = 0; p < P; ++p) {
+    int idx = P - 1 - p;
+    int xc = sx[idx], yc = sy[idx];
+    int32_t tc = t[yc * n + xc];
+    int64_t abs_tc = tc < 0 ? -(int64_t)tc : tc;
+    int64_t a = 0, mag = 0;
+    if (tc != 0) {
+      int64_t delta = q_state > 1 ? 1 : 0;
+      int64_t s_ = (abs_tc << bd) + (tc < 0 ? bd_offset : -bd_offset);
+      int64_t a0 = (s_ / ls + delta) / 2;
+      int64_t bestc = 0;
+      for (int k = 0; k < 2; ++k) {
+        int64_t ak = a0 + k;
+        int64_t mg = ak == 0 ? 0 : 2 * ak - delta;
+        int64_t dq = (mg * ls + bd_offset) >> bd;
+        int64_t dist = std::abs(abs_tc - dq);
+        int64_t bits = (ak == 0 && trailing) ? 0 : ak + 1;
+        if (bits > 1023) bits = 1023;
+        int64_t c = 128 * dist + lam_dq[bits];
+        if (k == 0 || c < bestc) { bestc = c; a = ak; mag = mg; }
+      }
+    }
+    q[yc * n + xc] = (int16_t)(tc < 0 ? -mag : mag);
+    int64_t av = a > 1023 ? 1023 : a;
+    rate += (a == 0) ? (trailing ? 0.0f : lv[0]) : lv[av];
+    trailing = trailing && a == 0;
+    q_state = kQStateTrans[q_state][a & 1];
+  }
+  *rate_out = rate;
+}
+
+struct ChromaStageA {
+  FrameCommitter fc;
+  const int32_t* ls_c;   // per chroma log2 2..4
+  const int32_t* bd_c;
+  const int32_t* lam_dq;
+  const float* lv;
+
+  // RD of one chroma block (chroma coords) with one mode.
+  void rd(int c, int cx, int cy, int s, int mode, int64_t* ssd_out,
+          float* rate_out) {
+    int log2 = ilog2i(s);
+    int32_t pred[16 * 16];
+    if (mode >= 81) {
+      fc.pred_c_ = c;
+      fc.predict_cclm(mode, cx, cy, s, pred);
+    } else {
+      int32_t left[65], above[64];
+      fc.gather_refs(c, cx, cy, s, 2 * cx, 2 * cy, left, above);
+      fc.predict(c, mode, left, above, s, pred);
+    }
+    int cw = fc.W >> 1;
+    const int32_t* op = fc.orig[c];
+    int32_t res[16 * 16], t[16 * 16];
+    for (int y = 0; y < s; ++y)
+      for (int x = 0; x < s; ++x)
+        res[y * s + x] = op[(cy + y) * cw + cx + x] - pred[y * s + x];
+    fc.forward_dct2(res, s, t);
+    int32_t ls = ls_c[log2 - 2], bd = bd_c[log2 - 2];
+    int16_t q[16 * 16];
+    float rate;
+    greedy_rd_block(t, log2, ls, bd, lam_dq, lv, q, &rate);
+    int64_t bd_off = ((int64_t)1 << bd) >> 1;
+    int16_t d[16 * 16];
+    bool any = false;
+    for (int i = 0; i < s * s; ++i) {
+      int64_t v = ((int64_t)q[i] * ls + bd_off) >> bd;
+      if (v < -32768) v = -32768;
+      if (v > 32767) v = 32767;
+      d[i] = (int16_t)v;
+      any = any || q[i] != 0;
+    }
+    int64_t ssd = 0;
+    if (any) {
+      int32_t r[16 * 16];
+      fc.inverse_dct2(d, s, r);
+      for (int y = 0; y < s; ++y)
+        for (int x = 0; x < s; ++x) {
+          int v = pred[y * s + x] + r[y * s + x];
+          v = v < 0 ? 0 : (v > 255 ? 255 : v);
+          int64_t e = v - op[(cy + y) * cw + cx + x];
+          ssd += e * e;
+        }
+    } else {
+      for (int y = 0; y < s; ++y)
+        for (int x = 0; x < s; ++x) {
+          int64_t e = pred[y * s + x] - op[(cy + y) * cw + cx + x];
+          ssd += e * e;
+        }
+    }
+    *ssd_out = ssd;
+    *rate_out = rate;
+  }
+};
+
+}  // namespace
+
+// Chroma stage A for all frames: derived-mode (leaf + SCIPU) and CCLM
+// candidate costs per aligned chroma block. dmodesN / outputs may be NULL
+// when that size is not in the partition ladder. Output layout:
+//   d_ssd / d_rate: (F, N, 2) per comp (cb, cr)
+//   sc_*: (F, N4, 2); cc_*: (F, 3, N, 2) for modes 81/82/83.
+extern "C" void wrenc_chroma_stage_a(
+    int W, int H, int log2_ctu, int F, int n_threads,
+    const int32_t* orig_y, const int32_t* orig_cb, const int32_t* orig_cr,
+    const int32_t* dmodes4, const int32_t* dmodes8, const int32_t* dmodes16,
+    const int32_t* scipu_modes, int cclm_enabled,
+    const int32_t* ls_c, const int32_t* bd_c,
+    const int32_t* lam_dq, const float* lv,
+    int64_t* d_ssd4, float* d_rate4, int64_t* d_ssd8, float* d_rate8,
+    int64_t* d_ssd16, float* d_rate16,
+    int64_t* sc_ssd, float* sc_rate,
+    int64_t* cc_ssd4, float* cc_rate4, int64_t* cc_ssd8, float* cc_rate8,
+    int64_t* cc_ssd16, float* cc_rate16,
+    const int32_t* dct4, const int32_t* dct8, const int32_t* dct16,
+    const int32_t* dct32, const int32_t* angle_tab, const int32_t* fc_tab,
+    const int32_t* fg_tab, const int32_t* pdpc_w, const int32_t* cclm_div) {
+  CommitTabs tabs;
+  tabs.dct[0] = dct4; tabs.dct[1] = dct8; tabs.dct[2] = dct16;
+  tabs.dct[3] = dct32;
+  tabs.angle = angle_tab; tabs.fc = fc_tab; tabs.fg = fg_tab;
+  tabs.pdpc_w = pdpc_w; tabs.cclm_div = cclm_div;
+  tabs.ls_tab = ls_c; tabs.bd_tab = bd_c; tabs.lam_dq = lam_dq;
+  tabs.dep_quant = 1; tabs.trellis = 0;
+  int ysz = W * H, csz = (W / 2) * (H / 2);
+  const int css[3] = {4, 8, 16};
+  const int32_t* dmodes[3] = {dmodes4, dmodes8, dmodes16};
+  int64_t* dssd[3] = {d_ssd4, d_ssd8, d_ssd16};
+  float* drate[3] = {d_rate4, d_rate8, d_rate16};
+  int64_t* cssd[3] = {cc_ssd4, cc_ssd8, cc_ssd16};
+  float* crate[3] = {cc_rate4, cc_rate8, cc_rate16};
+
+  auto run_frame = [&](int f) {
+    ChromaStageA st;
+    st.fc.W = W; st.fc.H = H; st.fc.log2_ctu = log2_ctu;
+    st.fc.tabs = &tabs;
+    st.fc.orig[0] = orig_y + (int64_t)f * ysz;
+    st.fc.orig[1] = orig_cb + (int64_t)f * csz;
+    st.fc.orig[2] = orig_cr + (int64_t)f * csz;
+    // prediction reads "recon" = original planes (stage-A convention)
+    st.fc.plane[0] = const_cast<int32_t*>(st.fc.orig[0]);
+    st.fc.plane[1] = const_cast<int32_t*>(st.fc.orig[1]);
+    st.fc.plane[2] = const_cast<int32_t*>(st.fc.orig[2]);
+    st.ls_c = ls_c; st.bd_c = bd_c; st.lam_dq = lam_dq; st.lv = lv;
+
+    for (int si = 0; si < 3; ++si) {
+      int cs = css[si];
+      int nbw = (W / 2) / cs, nbh = (H / 2) / cs;
+      int N = nbw * nbh;
+      bool want_d = dmodes[si] != nullptr;
+      bool want_sc = si == 0 && scipu_modes != nullptr;
+      bool want_cc = cclm_enabled && cssd[si] != nullptr;
+      if (!want_d && !want_sc && !want_cc) continue;
+      for (int i = 0; i < N; ++i) {
+        int cx = (i % nbw) * cs, cy = (i / nbw) * cs;
+        for (int c = 1; c <= 2; ++c) {
+          if (want_d) {
+            int mode = dmodes[si][(int64_t)f * N + i];
+            st.rd(c, cx, cy, cs, mode,
+                  &dssd[si][((int64_t)f * N + i) * 2 + (c - 1)],
+                  &drate[si][((int64_t)f * N + i) * 2 + (c - 1)]);
+          }
+          if (want_sc) {
+            int mode = scipu_modes[(int64_t)f * N + i];
+            st.rd(c, cx, cy, cs, mode,
+                  &sc_ssd[((int64_t)f * N + i) * 2 + (c - 1)],
+                  &sc_rate[((int64_t)f * N + i) * 2 + (c - 1)]);
+          }
+          if (want_cc) {
+            for (int m = 0; m < 3; ++m)
+              st.rd(c, cx, cy, cs, 81 + m,
+                    &cssd[si][(((int64_t)f * 3 + m) * N + i) * 2 + (c - 1)],
+                    &crate[si][(((int64_t)f * 3 + m) * N + i) * 2 + (c - 1)]);
+          }
+        }
+      }
+    }
+  };
+  if (n_threads <= 1 || F <= 1) {
+    for (int f = 0; f < F; ++f) run_frame(f);
+  } else {
+    std::vector<std::thread> ts;
+    std::atomic_int next{0};
+    for (int t = 0; t < std::min(n_threads, F); ++t)
+      ts.emplace_back([&] {
+        int f;
+        while ((f = next.fetch_add(1)) < F) run_frame(f);
+      });
+    for (auto& th : ts) th.join();
+  }
+}

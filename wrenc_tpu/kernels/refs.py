@@ -106,3 +106,65 @@ def build_ref_vectors(plane, width, height, size, c_idx=0, log2_ctu=5,
         masks = avail_masks(width, height, size, c_idx, log2_ctu)
     u = gather_u(plane, np.asarray(xs), np.asarray(ys), size)
     return substitute(u, masks, size), xs, ys
+
+
+@functools.lru_cache(maxsize=None)
+def subst_gather(width, height, size, c_idx=0, log2_ctu=5):
+    """Static substitution-as-gather: for every aligned block, the flat
+    plane index each (substituted) reference sample reads from.
+
+    Substitution only depends on geometry (availability), so u can be built
+    on device as `where(fill, 128, plane_flat[src_idx])` — no host ref
+    construction. Returns (src_idx (N, L) int32, fill (N,) bool).
+    """
+    xs, ys = block_grid(width, height, size, c_idx)
+    masks = avail_masks(width, height, size, c_idx, log2_ctu)
+    sh = 0 if c_idx == 0 else 1
+    w, h = width >> sh, height >> sh
+    N = len(xs)
+    L = 4 * size + 1
+    # plane coords of each ref slot (clamped; unavailable slots unused)
+    coord = np.zeros((N, L), dtype=np.int64)
+    cxm = np.clip(xs - 1, 0, w - 1).astype(np.int64)
+    cym = np.clip(ys - 1, 0, h - 1).astype(np.int64)
+    coord[:, 0] = cym * w + cxm
+    k = np.arange(2 * size)
+    lyy = np.clip(ys[:, None] + k[None, :], 0, h - 1)
+    coord[:, 1:1 + 2 * size] = lyy * w + cxm[:, None]
+    axx = np.clip(xs[:, None] + k[None, :], 0, w - 1)
+    coord[:, 1 + 2 * size:] = cym[:, None] * w + axx
+    # forward-fill along the substitution scan permutation (cf. substitute)
+    perm = _subst_perm(size)
+    mp = masks[:, perm]
+    cp = coord[:, perm]
+    idx = np.where(mp, np.arange(L)[None, :], -1)
+    ff = np.maximum.accumulate(idx, axis=1)
+    first = np.argmax(mp, axis=1)
+    ff = np.where(ff < 0, first[:, None], ff)
+    src = cp[np.arange(N)[:, None], ff]
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(L)
+    src = src[:, inv].astype(np.int32)
+    fill = ~mp.any(axis=1)
+    return src, fill
+
+
+@functools.lru_cache(maxsize=None)
+def filter121_indices(size):
+    """Static (prev, next, passthrough) index arrays for the 121 reference
+    filter on a unified u vector (cf. intra_mats.filter_ref_vector)."""
+    L = 4 * size + 1
+    h = w = size
+    pi = np.arange(L, dtype=np.int32)
+    ni = np.arange(L, dtype=np.int32)
+    keep = np.zeros(L, dtype=bool)
+    pi[0], ni[0] = 1, 1 + 2 * h
+    for y in range(2 * h - 1):
+        pi[1 + y], ni[1 + y] = 2 + y, y
+    keep[2 * h] = True
+    a0 = 1 + 2 * h
+    pi[a0], ni[a0] = 0, a0 + 1
+    for x in range(2 * w - 2):
+        pi[a0 + 1 + x], ni[a0 + 1 + x] = a0 + x, a0 + 2 + x
+    keep[L - 1] = True
+    return pi, ni, keep

@@ -88,10 +88,15 @@ class WavefrontSearch:
                  for d in range(cfg.max_split_depth, -1, -1)]
         luma_mode_b = {}
         luma_cost_b = {}
+        planes_y = np.stack([b[0] for b in self.batch])
+        fused = self._fused_luma(F, tuple(sizes))
+        res = fused(jnp.asarray(planes_y))
         for s in sizes:
-            mode, cost = self._stage_a_luma_batch(s)      # (F, N) each
-            luma_mode_b[s], luma_cost_b[s] = mode, cost
+            mode, cost = res[s]
+            luma_mode_b[s] = np.asarray(mode)
+            luma_cost_b[s] = np.asarray(cost)
         chroma_cache = {}
+        self._prefill_chroma_cache(chroma_cache, luma_mode_b, sizes, F)
         all_trees = []
         for fi in range(F):
             self.orig = self.batch[fi]
@@ -196,6 +201,61 @@ class WavefrontSearch:
         self.luma_mode = luma_mode
         return self._assemble_trees()
 
+    def _fused_luma(self, F, sizes):
+        """One jit for the whole luma stage A: reference vectors are built
+        on device via static substitution gathers (refs.subst_gather), the
+        67-mode sweep + SAD prune + greedy RD run per size, and only the
+        per-size (mode, cost) arrays come back. One device round-trip per
+        frame batch instead of one per size."""
+        cache = getattr(self, '_fused_cache', None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        key = (F, sizes)
+        if key in cache:
+            return cache[key]
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        consts = {}
+        for s in sizes:
+            src, fill = refs.subst_gather(W, H, s, 0, cfg.log2_ctu_size)
+            pi, ni, keep = refs.filter121_indices(s)
+            consts[s] = (src, fill, pi, ni, keep)
+        lam_dq = self.lam_dq_greedy
+        lv = self.lv_greedy
+        mode_bits = self._mode_bits
+        lam = np.float32(self.lam)
+        qpars = {s: self.qpar[(0, s.bit_length() - 1)] for s in sizes}
+        K = self.NUM_RD_CANDS
+
+        @jax.jit
+        def run(planes):                      # (F, H, W) int32
+            flat = planes.reshape(F, H * W)
+            out = {}
+            for s in sizes:
+                src, fill, pi, ni, keep = consts[s]
+                u = jnp.where(jnp.asarray(fill)[None, :, None], 128,
+                              flat[:, jnp.asarray(src)])      # (F, N, L)
+                L = src.shape[1]
+                u = u.reshape(-1, L)
+                uf = jnp.where(jnp.asarray(keep)[None, :], u,
+                               (u[:, jnp.asarray(pi)] + 2 * u
+                                + u[:, jnp.asarray(ni)] + 2) >> 2)
+                v = jnp.concatenate([u, uf], axis=1)
+                pred = intra_pred._predict_all_modes(v, s, 0)
+                blocks = planes.reshape(F, H // s, s, W // s, s) \
+                    .transpose(0, 1, 3, 2, 4).reshape(-1, s * s)
+                qp = qpars[s]
+                mode, cost = _stage_a_select(
+                    pred, blocks, K, qp.ls, qp.bd_shift,
+                    jnp.asarray(lam_dq), jnp.asarray(lv),
+                    s.bit_length() - 1, lam, jnp.asarray(mode_bits))
+                N = src.shape[0]
+                out[s] = (mode.reshape(F, N), cost.reshape(F, N))
+            return out
+
+        cache[key] = run
+        return run
+
     def _stage_a_luma_batch(self, s):
         """All-mode decision for every frame's s-blocks in one device call."""
         cfg = self.cfg
@@ -222,6 +282,56 @@ class WavefrontSearch:
         N = len(blks[0])
         return (np.asarray(mode).reshape(F, N),
                 np.asarray(cost).reshape(F, N))
+
+    def _prefill_chroma_cache(self, cache, luma_mode_b, sizes, F):
+        """Compute all chroma stage-A costs in one native host call
+        (wrenc_chroma_stage_a) instead of per-size device round-trips.
+        Numerically identical RD (same greedy decisions and float32 rate
+        accumulation); falls back to the device path when no native lib."""
+        from ..entropy import native
+        if not native.available():
+            return
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        dmodes = {}
+        for cs in (4, 8, 16):
+            s = 2 * cs
+            dmodes[cs] = luma_mode_b[s] if s in sizes else None
+        scipu_modes = None
+        if 4 in sizes and 8 in sizes:
+            scipu_modes = luma_mode_b[4].reshape(
+                F, H // 4, W // 4)[:, 1::2, 1::2].reshape(F, -1)
+        ls_c = [self.qpar[(1, lg)].ls for lg in (2, 3, 4)]
+        bd_c = [self.qpar[(1, lg)].bd_shift for lg in (2, 3, 4)]
+        res = native.chroma_stage_a_native(
+            cfg, self.batch, dmodes, scipu_modes, ls_c, bd_c,
+            self.lam_dq_greedy, self.lv_greedy)
+        lam = self.lam
+        dep = cfg.dep_quant_enabled
+
+        def combine(ssd, rate):
+            c = ssd.astype(np.float64) + lam * rate.astype(np.float64) \
+                / 16384.0
+            return c[..., 0] + c[..., 1]
+
+        for cs in (4, 8, 16):
+            if ('d', cs) in res:
+                cache[('leaf', 2 * cs)] = combine(*res[('d', cs)])
+        if ('sc',) in res:
+            cache[('scipu', 8)] = combine(*res[('sc',)])
+        if cfg.cclm_enabled:
+            co = self.rm.pick('cclm_offset', dep, True)
+            cio = self.rm.pick('cclm_mode_idx_offset', dep, True)
+            bits = np.array([co + (i + cio) ** self.rm.cclm_pow
+                             for i in range(3)])
+            for cs in (4, 8, 16):
+                if ('cc', cs) not in res:
+                    continue
+                c = combine(*res[('cc', cs)])          # (F, 3, N)
+                c = c + (lam * bits)[None, :, None]
+                best = np.argmin(c, axis=1)
+                cost = np.take_along_axis(c, best[:, None, :], axis=1)[:, 0]
+                cache[('cclm', cs)] = (cost, (81 + best).astype(np.int32))
 
     def _chroma_cached(self, cache, key, cs, modes_b, fi):
         if key not in cache:
