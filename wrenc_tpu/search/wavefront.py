@@ -206,55 +206,25 @@ class WavefrontSearch:
         on device via static substitution gathers (refs.subst_gather), the
         67-mode sweep + SAD prune + greedy RD run per size, and only the
         per-size (mode, cost) arrays come back. One device round-trip per
-        frame batch instead of one per size."""
-        cache = getattr(self, '_fused_cache', None)
-        if cache is None:
-            cache = self._fused_cache = {}
-        key = (F, sizes)
-        if key in cache:
-            return cache[key]
+        frame batch instead of one per size. The jit is cached at module
+        level per geometry; QP-dependent scalars/tables are traced
+        arguments, so changing QP does NOT recompile."""
         cfg = self.cfg
-        W, H = cfg.width, cfg.height
-        consts = {}
-        for s in sizes:
-            src, fill = refs.subst_gather(W, H, s, 0, cfg.log2_ctu_size)
-            pi, ni, keep = refs.filter121_indices(s)
-            consts[s] = (src, fill, pi, ni, keep)
+        run = _fused_luma_builder(cfg.width, cfg.height, cfg.log2_ctu_size,
+                                  sizes, F, self.NUM_RD_CANDS)
+        ls = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].ls)
+              for s in sizes}
+        bd = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].bd_shift)
+              for s in sizes}
         lam_dq = self.lam_dq_greedy
         lv = self.lv_greedy
-        mode_bits = self._mode_bits
         lam = np.float32(self.lam)
-        qpars = {s: self.qpar[(0, s.bit_length() - 1)] for s in sizes}
-        K = self.NUM_RD_CANDS
+        mode_bits = self._mode_bits
 
-        @jax.jit
-        def run(planes):                      # (F, H, W) int32
-            flat = planes.reshape(F, H * W)
-            out = {}
-            for s in sizes:
-                src, fill, pi, ni, keep = consts[s]
-                u = jnp.where(jnp.asarray(fill)[None, :, None], 128,
-                              flat[:, jnp.asarray(src)])      # (F, N, L)
-                L = src.shape[1]
-                u = u.reshape(-1, L)
-                uf = jnp.where(jnp.asarray(keep)[None, :], u,
-                               (u[:, jnp.asarray(pi)] + 2 * u
-                                + u[:, jnp.asarray(ni)] + 2) >> 2)
-                v = jnp.concatenate([u, uf], axis=1)
-                pred = intra_pred._predict_all_modes(v, s, 0)
-                blocks = planes.reshape(F, H // s, s, W // s, s) \
-                    .transpose(0, 1, 3, 2, 4).reshape(-1, s * s)
-                qp = qpars[s]
-                mode, cost = _stage_a_select(
-                    pred, blocks, K, qp.ls, qp.bd_shift,
-                    jnp.asarray(lam_dq), jnp.asarray(lv),
-                    s.bit_length() - 1, lam, jnp.asarray(mode_bits))
-                N = src.shape[0]
-                out[s] = (mode.reshape(F, N), cost.reshape(F, N))
-            return out
+        def call(planes):
+            return run(planes, ls, bd, lam_dq, lv, lam, mode_bits)
 
-        cache[key] = run
-        return run
+        return call
 
     def _stage_a_luma_batch(self, s):
         """All-mode decision for every frame's s-blocks in one device call."""
@@ -599,6 +569,43 @@ class WavefrontSearch:
 
 
 # ------------------------------------------------------------ jit helpers
+@functools.lru_cache(maxsize=None)
+def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
+    """Module-level fused luma stage-A jit, shared across search instances
+    and QPs (geometry is baked in; QP-dependent values are arguments)."""
+    consts = {}
+    for s in sizes:
+        src, fill = refs.subst_gather(W, H, s, 0, log2_ctu)
+        pi, ni, keep = refs.filter121_indices(s)
+        consts[s] = (src, fill, pi, ni, keep)
+
+    @jax.jit
+    def run(planes, ls, bd, lam_dq, lv, lam, mode_bits):
+        flat = planes.reshape(F, H * W)
+        out = {}
+        for s in sizes:
+            src, fill, pi, ni, keep = consts[s]
+            u = jnp.where(jnp.asarray(fill)[None, :, None], 128,
+                          flat[:, jnp.asarray(src)])          # (F, N, L)
+            L = src.shape[1]
+            u = u.reshape(-1, L)
+            uf = jnp.where(jnp.asarray(keep)[None, :], u,
+                           (u[:, jnp.asarray(pi)] + 2 * u
+                            + u[:, jnp.asarray(ni)] + 2) >> 2)
+            v = jnp.concatenate([u, uf], axis=1)
+            pred = intra_pred._predict_all_modes(v, s, 0)
+            blocks = planes.reshape(F, H // s, s, W // s, s) \
+                .transpose(0, 1, 3, 2, 4).reshape(-1, s * s)
+            mode, cost = _stage_a_select(
+                pred, blocks, K, ls[s], bd[s], lam_dq, lv,
+                s.bit_length() - 1, lam, mode_bits)
+            N = src.shape[0]
+            out[s] = (mode.reshape(F, N), cost.reshape(F, N))
+        return out
+
+    return run
+
+
 @functools.partial(jax.jit, static_argnums=(2, 7))
 def _stage_a_select(pred, orig, num_cands, ls, bd_shift, lam_dq, lv,
                     log2, lam, mode_bits):
