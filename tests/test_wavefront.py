@@ -37,3 +37,35 @@ def test_wavefront_quality_reasonable():
     p_g = psnr(gr[0][0], frame[0])
     assert p_w > p_g - 1.5, (p_w, p_g)
     assert len(sw) < len(gw) * 1.4 + 200, (len(sw), len(gw))
+
+
+def test_frame_sharded_encode_matches_single():
+    """Frame-data-parallel stage A over a device mesh must produce the
+    identical bitstream (frames are independent in all-intra)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from wrenc_tpu.core.config import EncoderConfig
+    from wrenc_tpu.encoder import Encoder
+    from wrenc_tpu.search import WavefrontSearch
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        import pytest
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(9)
+    W, H = 96, 64
+    frames = []
+    yy, xx = np.mgrid[0:H, 0:W]
+    for i in range(3):  # 3 frames on a wider mesh -> exercises padding
+        y = np.clip(np.sin(xx / 7 + i) * 60 + np.cos(yy / 9) * 50 + 128
+                    + rng.integers(-5, 6, (H, W)), 0, 255).astype(np.uint8)
+        cb = (y[::2, ::2] // 2 + 50).astype(np.uint8)
+        cr = (210 - y[::2, ::2] // 2).astype(np.uint8)
+        frames.append((y, cb, cr))
+    cfg = EncoderConfig(width=W, height=H, qp=30)
+    mesh = Mesh(np.array(devs), ("frame",))
+    s1, _ = Encoder(cfg, search=WavefrontSearch(cfg, mesh=mesh)) \
+        .encode(frames)
+    s2, _ = Encoder(cfg, search=WavefrontSearch(cfg)).encode(frames)
+    assert s1 == s2

@@ -34,9 +34,14 @@ import functools
 class WavefrontSearch:
     NUM_RD_CANDS = 4  # angular full-RD candidates on top of PLANAR/DC
 
-    def __init__(self, cfg, trellis_commit=True):
+    def __init__(self, cfg, trellis_commit=True, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'frame' axis — the frame
+        batch of stage A is sharded across it (all-intra frames are
+        independent, so this is pure data parallelism; SURVEY.md §2.3).
+        Host passes (commit, entropy) are per-frame and unaffected."""
         cfg.validate()
         self.cfg = cfg
+        self.mesh = mesh
         self.rm = cfg.rate_model
         self.trellis_commit = trellis_commit
         qp = cfg.qp
@@ -89,12 +94,25 @@ class WavefrontSearch:
         luma_mode_b = {}
         luma_cost_b = {}
         planes_y = np.stack([b[0] for b in self.batch])
-        fused = self._fused_luma(F, tuple(sizes))
-        res = fused(jnp.asarray(planes_y))
+        pad = 0
+        if self.mesh is not None:
+            nf = self.mesh.shape.get('frame', 1)
+            pad = (-F) % nf
+            if pad:
+                planes_y = np.concatenate(
+                    [planes_y, np.repeat(planes_y[-1:], pad, axis=0)])
+        fused = self._fused_luma(F + pad, tuple(sizes))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dev = jax.device_put(
+                planes_y, NamedSharding(self.mesh, P('frame', None, None)))
+        else:
+            dev = jnp.asarray(planes_y)
+        res = fused(dev)
         for s in sizes:
             mode, cost = res[s]
-            luma_mode_b[s] = np.asarray(mode)
-            luma_cost_b[s] = np.asarray(cost)
+            luma_mode_b[s] = np.asarray(mode)[:F]
+            luma_cost_b[s] = np.asarray(cost)[:F]
         chroma_cache = {}
         self._prefill_chroma_cache(chroma_cache, luma_mode_b, sizes, F)
         all_trees = []

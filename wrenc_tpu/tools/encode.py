@@ -37,6 +37,9 @@ def main(argv=None):
                          "with slice-header entry points")
     ap.add_argument("--batch", type=int, default=8,
                     help="frames per TPU batch (wavefront search)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard the frame batch over N devices (0 = all "
+                         "available when >1, 1 = single device)")
     args = ap.parse_args(argv)
 
     from ..core.config import EncoderConfig
@@ -55,7 +58,17 @@ def main(argv=None):
 
     if args.search == "wavefront":
         from ..search import WavefrontSearch
-        search = WavefrontSearch(cfg)
+        mesh = None
+        if args.dp != 1:
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+            devs = jax.devices()
+            n = args.dp if args.dp > 0 else len(devs)
+            if n > 1 and len(devs) >= n:
+                mesh = Mesh(np.array(devs[:n]), ("frame",))
+                print(f"frame-parallel over {n} devices", file=sys.stderr)
+        search = WavefrontSearch(cfg, mesh=mesh)
     else:
         from ..spec.encoder import ScalarEncoder
         search = ScalarEncoder(cfg)
