@@ -23,6 +23,10 @@ class RateModelConfig:
     lv_offset: float = 0.67196167
     lv_offset_dq: float = 0.13731084642527322
     lv_offset_dq_trellis: float = 0.15150746310196822
+    # weight of the luma mode-bit term in the wavefront stage-A costs
+    # (this framework's own knob — not in the reference; ~2x measures best
+    # with the reference-tuned constants, see search/wavefront.py)
+    stage_a_mode_bits_scale: float = 2.0
     # mode-bits model
     non_planar_offset: float = 2.4951231
     non_planar_offset_dq: float = 2.6002965

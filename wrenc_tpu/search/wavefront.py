@@ -63,6 +63,14 @@ class WavefrontSearch:
         self.lam = 2.0 ** (qp / self.rm.pick('qp_div', dep, True)) \
             * self.rm.pick('lambda_mul', dep, True)
         self._mode_bits = self._approx_mode_bits()
+        self.mpm_refine = True
+        # weight on the luma mode-bit term in stage-A costs. The legacy
+        # pipeline effectively charged mode bits twice (once in the device
+        # cost, once at the QT leaf), which measures better than 1x with
+        # the reference-tuned rate constants — kept as an explicit,
+        # tunable factor now that bits are applied host-side.
+        self.mode_bits_scale = getattr(self.rm, 'stage_a_mode_bits_scale',
+                                       2.0)
 
     # ------------------------------------------------------------- stage A
     def _approx_mode_bits(self):
@@ -110,9 +118,9 @@ class WavefrontSearch:
             dev = jnp.asarray(planes_y)
         res = fused(dev)
         for s in sizes:
-            mode, cost = res[s]
-            luma_mode_b[s] = np.asarray(mode)[:F]
-            luma_cost_b[s] = np.asarray(cost)[:F]
+            cands, base = res[s]
+            luma_mode_b[s], luma_cost_b[s] = self._select_modes(
+                s, np.asarray(cands)[:F], np.asarray(base)[:F])
         chroma_cache = {}
         self._prefill_chroma_cache(chroma_cache, luma_mode_b, sizes, F)
         all_trees = []
@@ -177,7 +185,8 @@ class WavefrontSearch:
             lm = luma_mode[s].reshape(n_bh, n_bw)
             if s == 4:
                 # dual-tree luma leaves (inside SCIPU): hb/3, no chroma
-                leaf = lc + self.lam * (hb / 3.0 + self._mode_bits[lm])
+                # (mode bits are already inside lc, cf. _select_modes)
+                leaf = lc + self.lam * (hb / 3.0)
                 cost = leaf
                 continue
             cs = s // 2
@@ -191,7 +200,7 @@ class WavefrontSearch:
                 self.cclm_choice[s] = np.where(use, cm, -1)
                 ch_total = np.where(use, cc, ch_total)
             leaf = (lc + ch_total.reshape(n_bh, n_bw)
-                    + self.lam * (hb + self._mode_bits[lm]))
+                    + self.lam * hb)
             if cost is None:
                 cost = leaf
                 split[s] = np.zeros_like(leaf, dtype=bool)
@@ -237,39 +246,49 @@ class WavefrontSearch:
         lam_dq = self.lam_dq_greedy
         lv = self.lv_greedy
         lam = np.float32(self.lam)
-        mode_bits = self._mode_bits
 
         def call(planes):
-            return run(planes, ls, bd, lam_dq, lv, lam, mode_bits)
+            return run(planes, ls, bd, lam_dq, lv, lam)
 
         return call
 
-    def _stage_a_luma_batch(self, s):
-        """All-mode decision for every frame's s-blocks in one device call."""
+    def _select_modes(self, s, cands, base):
+        """Pick the winning luma mode per block from the device candidates.
+
+        base is ssd + lam*rate (no mode bits). Bits are applied here,
+        exactly (MPM-dependent): after a provisional pick with the static
+        expectation, each block's MPM list is approximated from its left /
+        above same-size neighbours' picks and the candidates re-ranked
+        (two Jacobi iterations). The returned cost INCLUDES the mode-bit
+        term once (the QT decision no longer re-adds it — the old path
+        double-counted mode bits there)."""
+        F, N, K = cands.shape
         cfg = self.cfg
-        W, H = cfg.width, cfg.height
-        log2 = s.bit_length() - 1
-        F = len(self.batch)
-        n_bw = W // s
-        vs, blks = [], []
-        for planes in self.batch:
-            u, xs, ys = refs.build_ref_vectors(planes[0], W, H, s, 0,
-                                               cfg.log2_ctu_size)
-            vs.append(intra_pred.make_v(u, s))
-            blks.append(planes[0].reshape(H // s, s, n_bw, s)
-                        .transpose(0, 2, 1, 3).reshape(-1, s * s))
-        v = np.concatenate(vs)
-        blocks = np.concatenate(blks)
-        qpar = self.qpar[(0, log2)]
-        pred = intra_pred.predict_all_modes(jnp.asarray(v), s, 0)
-        mode, cost = _stage_a_select(
-            pred, jnp.asarray(blocks), self.NUM_RD_CANDS, qpar.ls,
-            qpar.bd_shift, jnp.asarray(self.lam_dq_greedy),
-            jnp.asarray(self.lv_greedy), log2, np.float32(self.lam),
-            jnp.asarray(self._mode_bits))
-        N = len(blks[0])
-        return (np.asarray(mode).reshape(F, N),
-                np.asarray(cost).reshape(F, N))
+        n_bw = cfg.width // s
+        n_bh = cfg.height // s
+        sc = self.lam * self.mode_bits_scale
+        bits = self._mode_bits[cands]
+        total = base + sc * bits
+        best = np.argmin(total, axis=2)
+        mode = np.take_along_axis(cands, best[..., None], 2)[..., 0]
+        if self.mpm_refine:
+            T = _mpm_bits_table(self.rm, cfg.dep_quant_enabled)
+            ctu = cfg.ctu_size
+            top_rows = (np.arange(n_bh) * s) % ctu == 0
+            for _ in range(2):
+                g = mode.reshape(F, n_bh, n_bw)
+                lm = np.zeros_like(g)
+                lm[:, :, 1:] = g[:, :, :-1]
+                am = np.zeros_like(g)
+                am[:, 1:, :] = g[:, :-1, :]
+                am[:, top_rows, :] = 0       # above-CTU-row not usable
+                bits = T[lm.reshape(F, N)[..., None],
+                         am.reshape(F, N)[..., None], cands]
+                total = base + sc * bits
+                best = np.argmin(total, axis=2)
+                mode = np.take_along_axis(cands, best[..., None], 2)[..., 0]
+        cost = np.take_along_axis(total, best[..., None], 2)[..., 0]
+        return mode.astype(np.int64), cost
 
     def _prefill_chroma_cache(self, cache, luma_mode_b, sizes, F):
         """Compute all chroma stage-A costs in one native host call
@@ -586,6 +605,39 @@ class WavefrontSearch:
             cu.coeffs[c_idx] = q[i]
 
 
+_MPM_BITS_CACHE = {}
+
+
+def _mpm_bits_table(rm, dep):
+    """(67, 67, 67) f32 table: mode-bit estimate for coding `mode` given
+    left/above neighbour modes (l, a) — the exact rate-model formula the
+    scalar encoder evaluates per CU (spec/encoder.py _mode_bits), closed
+    over all (l, a) pairs so stage A can apply it with pure indexing."""
+    po = rm.pick('planar_offset', dep, True)
+    npo = rm.pick('non_planar_offset', dep, True)
+    mio = rm.pick('mpm_idx_offset', dep, True)
+    mrm = rm.pick('mpm_remainder_mult', dep, True)
+    mro = rm.pick('mpm_remainder_offset', dep, True)
+    key = (po, npo, mio, mrm, mro, rm.mpm_idx_pow, rm.mpm_remainder_pow)
+    if key in _MPM_BITS_CACHE:
+        return _MPM_BITS_CACHE[key]
+    from ..entropy.syntax import derive_mpm_list
+    modes = np.arange(67, dtype=np.float64)
+    T = np.empty((67, 67, 67), dtype=np.float32)
+    for l in range(67):
+        for a in range(67):
+            cand = derive_mpm_list(l, a)
+            srt = np.sort(cand)
+            rem = modes - 1 - np.searchsorted(srt, modes, side='left')
+            row = npo + mrm * (rem + mro) ** rm.mpm_remainder_pow
+            for idx, m in reversed(list(enumerate(cand))):
+                row[m] = npo + (idx + mio) ** rm.mpm_idx_pow
+            row[0] = po
+            T[l, a] = row
+    _MPM_BITS_CACHE[key] = T
+    return T
+
+
 # ------------------------------------------------------------ jit helpers
 @functools.lru_cache(maxsize=None)
 def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
@@ -598,7 +650,7 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
         consts[s] = (src, fill, pi, ni, keep)
 
     @jax.jit
-    def run(planes, ls, bd, lam_dq, lv, lam, mode_bits):
+    def run(planes, ls, bd, lam_dq, lv, lam):
         flat = planes.reshape(F, H * W)
         out = {}
         for s in sizes:
@@ -614,11 +666,11 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
             pred = intra_pred._predict_all_modes(v, s, 0)
             blocks = planes.reshape(F, H // s, s, W // s, s) \
                 .transpose(0, 1, 3, 2, 4).reshape(-1, s * s)
-            mode, cost = _stage_a_select(
+            cands, cost = _stage_a_select(
                 pred, blocks, K, ls[s], bd[s], lam_dq, lv,
-                s.bit_length() - 1, lam, mode_bits)
+                s.bit_length() - 1, lam)
             N = src.shape[0]
-            out[s] = (mode.reshape(F, N), cost.reshape(F, N))
+            out[s] = (cands.reshape(F, N, -1), cost.reshape(F, N, -1))
         return out
 
     return run
@@ -626,8 +678,11 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
 
 @functools.partial(jax.jit, static_argnums=(2, 7))
 def _stage_a_select(pred, orig, num_cands, ls, bd_shift, lam_dq, lv,
-                    log2, lam, mode_bits):
-    """pred (N,67,WH), orig (N,WH) -> best (mode, cost) per block."""
+                    log2, lam):
+    """pred (N,67,WH), orig (N,WH) -> (cands (N,K+2), cost (N,K+2)).
+
+    Cost is ssd + lam*rate WITHOUT mode bits — the host applies the exact
+    (MPM-dependent) mode-bit term and picks the winner."""
     sad = jnp.abs(pred - orig[:, None, :]).sum(-1)           # (N,67)
     ang = sad[:, 2:]
     _, top = jax.lax.top_k(-ang, num_cands)                  # (N,K)
@@ -641,13 +696,8 @@ def _stage_a_select(pred, orig, num_cands, ls, bd_shift, lam_dq, lv,
     p = p.reshape(-1, s, s)
     o = jnp.repeat(orig[:, None, :], K, axis=1).reshape(-1, s, s)
     ssd, rate = _rd_eval_inner(p, o, ls, bd_shift, lam_dq, lv, log2)
-    bits = mode_bits[cands]                                   # (N,K)
-    cost = (ssd.reshape(-1, K) + lam * (rate.reshape(-1, K) / 16384.0
-                                        + bits))
-    best = jnp.argmin(cost, axis=1)
-    mode = jnp.take_along_axis(cands, best[:, None], axis=1)[:, 0]
-    c = jnp.take_along_axis(cost, best[:, None], axis=1)[:, 0]
-    return mode, c
+    cost = ssd.reshape(-1, K) + lam * (rate.reshape(-1, K) / 16384.0)
+    return cands, cost
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
