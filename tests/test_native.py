@@ -52,3 +52,47 @@ def test_native_slice_coder_byte_equal(qp):
     pb = Encoder(cfg, use_native=False).encode_slice(trees)
     nb = Encoder(cfg, use_native=True).encode_slice(trees)
     assert pb == nb
+
+
+def test_native_decoder_matches_python_oracle():
+    """The C++ fast-path decoder must reproduce the Python conformance
+    oracle exactly (normal + WPP streams, CCLM-rich content)."""
+    import numpy as np
+    from wrenc_tpu.core.config import EncoderConfig
+    from wrenc_tpu.decoder import decode_annexb
+    from wrenc_tpu.encoder import Encoder
+    from wrenc_tpu.entropy import native
+    from wrenc_tpu.search import WavefrontSearch
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native library")
+    rng = np.random.default_rng(21)
+    W, H = 96, 96
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for i in range(2):
+        y = np.clip(np.sin(xx / 6 + i) * 70 + np.cos(yy / 9) * 60 + 128
+                    + rng.integers(-15, 16, (H, W)), 0, 255).astype(np.uint8)
+        cb = np.clip(y[::2, ::2] // 2 + 40
+                     + rng.integers(-4, 5, (H // 2, W // 2)),
+                     0, 255).astype(np.uint8)
+        cr = np.clip(230 - y[::2, ::2] * 3 // 4
+                     + rng.integers(-4, 5, (H // 2, W // 2)),
+                     0, 255).astype(np.uint8)
+        frames.append((y, cb, cr))
+    for wpp in (False, True):
+        cfg = EncoderConfig(width=W, height=H, qp=24)  # low QP: rich residual
+        if wpp:
+            cfg.entropy_coding_sync_enabled = True
+            cfg.entry_point_offsets_present = True
+        stream, recons = Encoder(cfg, search=WavefrontSearch(cfg)) \
+            .encode(frames)
+        fn = decode_annexb(stream, use_native=True)
+        fp = decode_annexb(stream, use_native=False)
+        for a, b in zip(fn, fp):
+            for pa, pb in zip(a, b):
+                assert np.array_equal(pa, pb)
+        for a, b in zip(fn, recons):
+            for pa, pb in zip(a, b):
+                assert np.array_equal(pa, pb)

@@ -19,9 +19,13 @@ from ..spec.avail import Availability
 
 
 class Decoder:
-    def __init__(self):
+    def __init__(self, use_native=True):
+        """use_native: decode via the C++ fast path when available. The
+        Python path below remains the independent oracle (the native
+        decoder is equality-tested against it)."""
         self.p = ParsedParams()
         self.frames = []
+        self.use_native = use_native
 
     def decode(self, data):
         """Decode an Annex-B byte stream; returns list of (Y, Cb, Cr)."""
@@ -43,6 +47,15 @@ class Decoder:
         r = BitReader(rbsp)
         parse_sh(r, p)
         W, H = p.width, p.height
+        if self.use_native:
+            from ..entropy import native
+            if native.decode_supported():
+                res = native.decode_slice_native(
+                    p, rbsp[r.byte_pos:], getattr(p, 'entry_lens', []))
+                if res is not None:
+                    self.frames.append(
+                        tuple(pl.astype(np.uint8) for pl in res))
+                    return
         self.recon = [np.zeros((H, W), dtype=np.int32),
                       np.zeros((H // 2, W // 2), dtype=np.int32),
                       np.zeros((H // 2, W // 2), dtype=np.int32)]
@@ -125,5 +138,5 @@ class Decoder:
             self.recon[c][y:y + cs, x:x + cs] = rec
 
 
-def decode_annexb(data):
-    return Decoder().decode(data)
+def decode_annexb(data, use_native=True):
+    return Decoder(use_native=use_native).decode(data)

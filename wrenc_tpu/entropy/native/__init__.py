@@ -1,4 +1,4 @@
 from .loader import (available, chroma_stage_a_native, commit_frames_native,
-                     commit_supported, encode_slice_native,
-                     encode_slice_wpp_native, greedy_quant_native,
-                     trellis_quant_native, wpp_supported)
+                     commit_supported, decode_slice_native, decode_supported,
+                     encode_slice_native, encode_slice_wpp_native,
+                     greedy_quant_native, trellis_quant_native, wpp_supported)

@@ -375,3 +375,64 @@ def chroma_stage_a_native(cfg, origs, dmodes, scipu_modes, ls_c, bd_c,
         _i32p(dcts[0]), _i32p(dcts[1]), _i32p(dcts[2]), _i32p(dcts[3]),
         _i32p(angle), _i32p(fcm), _i32p(fgm), _i32p(pdpcw), _i32p(cclmd))
     return out
+
+
+def decode_supported():
+    return available()
+
+
+def decode_slice_native(p, payload, entry_lens=None):
+    """Decode one slice payload (post-SH de-emulated RBSP bytes) natively.
+
+    p: ParsedParams (geometry/flags/slice_qp). Returns (Y, Cb, Cr) int32
+    planes, or None on parse error (caller falls back to Python)."""
+    from ...core import tables
+    from ...spec import quant
+    lib = _get()
+    lib.wrenc_decode_slice.restype = ctypes.c_int
+    W, H = p.width, p.height
+    se_off, inits, shifts = _ctx_arrays()
+    ls_tab = np.zeros((2, 4), dtype=np.int32)
+    bd_tab = np.zeros((2, 4), dtype=np.int32)
+    for c in (0, 1):
+        qp = p.slice_qp if c == 0 else quant.chroma_qp_from_luma(p.slice_qp)
+        for log2 in (2, 3, 4, 5):
+            qpar = quant.derive_quant_params(
+                qp, log2, log2, dep_quant=p.dep_quant_used,
+                transform_skip=False, bit_depth=p.bit_depth)
+            ls_tab[c, log2 - 2] = qpar.ls
+            bd_tab[c, log2 - 2] = qpar.bd_shift
+
+    def c32(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    dcts = [c32(tables.dct2_matrix(n)) for n in (4, 8, 16, 32)]
+    ry = np.zeros((H, W), dtype=np.int32)
+    rcb = np.zeros((H // 2, W // 2), dtype=np.int32)
+    rcr = np.zeros((H // 2, W // 2), dtype=np.int32)
+    data = np.frombuffer(bytes(payload), dtype=np.uint8)
+    lens = np.asarray(entry_lens or [], dtype=np.int64)
+    wpp = 1 if (getattr(p, 'entropy_coding_sync_enabled', False)
+                and len(lens)) else 0
+    rc = lib.wrenc_decode_slice(
+        ctypes.c_int(W), ctypes.c_int(H), ctypes.c_int(p.log2_ctu_size),
+        ctypes.c_int(p.slice_qp),
+        ctypes.c_int(1 if p.dep_quant_used else 0),
+        ctypes.c_int(1 if p.transform_skip_enabled else 0),
+        ctypes.c_int(1 if getattr(p, 'cclm_enabled', True) else 0),
+        _i32p(se_off), ctypes.c_int(len(se_off)),
+        _i32p(inits), _i32p(shifts), ctypes.c_int(len(inits)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)),
+        ctypes.c_int(wpp),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(len(lens)),
+        _i32p(ls_tab), _i32p(bd_tab),
+        _i32p(dcts[0]), _i32p(dcts[1]), _i32p(dcts[2]), _i32p(dcts[3]),
+        _i32p(c32(tables.INTRA_ANGLE_TABLE)), _i32p(c32(tables.F_C)),
+        _i32p(c32(tables.F_G)), _i32p(c32(tables.PDPC_WEIGHTS)),
+        _i32p(c32(tables.CCLM_DIV_SIG_TABLE)),
+        _i32p(ry), _i32p(rcb), _i32p(rcr))
+    if rc != 0:
+        return None
+    return ry, rcb, rcr

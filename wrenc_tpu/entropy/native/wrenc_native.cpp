@@ -1704,3 +1704,638 @@ extern "C" void wrenc_chroma_stage_a(
     for (auto& th : ts) th.join();
   }
 }
+
+// ================================================================= decoder
+// Native slice decoder: CABAC + syntax parse (the decode direction of
+// SliceCoder, mirroring entropy/syntax.py 'dec' mode) + reconstruction via
+// FrameCommitter's spec-exact predict/dequant/inverse. Used by the Python
+// decoder as a fast path; the Python implementation remains the
+// independent conformance oracle (equality-tested against this one).
+namespace {
+
+struct BitSource {
+  const uint8_t* data;
+  int64_t nbits;
+  int64_t pos = 0;
+  int bit() {
+    if (pos >= nbits) return 0;  // rbsp padding reads as zero
+    int b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+    ++pos;
+    return b;
+  }
+};
+
+struct CabacDec {
+  std::vector<uint16_t> s0, s1;
+  std::vector<uint8_t> shift_idx;
+  std::vector<int> se_off;
+  uint32_t range = 510, offset = 0;
+  BitSource* r = nullptr;
+
+  void init_engine() {
+    range = 510;
+    offset = 0;
+    for (int i = 0; i < 9; ++i) offset = (offset << 1) | r->bit();
+  }
+  int bin(int se, int inc) {
+    int i = se_off[se] + inc;
+    uint32_t p_state = s1[i] + 16u * s0[i];
+    int val_mps = p_state >> 14;
+    uint32_t q = range >> 5;
+    uint32_t lps =
+        ((q * ((val_mps == 0 ? p_state : 32767 - p_state) >> 9)) >> 1) + 4;
+    range -= lps;
+    int b;
+    if (offset >= range) {
+      b = 1 - val_mps;
+      offset -= range;
+      range = lps;
+    } else {
+      b = val_mps;
+    }
+    while (range < 256) {
+      range <<= 1;
+      offset = (offset << 1) | r->bit();
+    }
+    int sh = shift_idx[i];
+    int sh0 = (sh >> 2) + 2, sh1 = (sh & 3) + 3 + sh0;
+    s0[i] = (uint16_t)(s0[i] - (s0[i] >> sh0) + ((1023 * b) >> sh0));
+    s1[i] = (uint16_t)(s1[i] - (s1[i] >> sh1) + ((16383 * b) >> sh1));
+    return b;
+  }
+  int bypass() {
+    offset = (offset << 1) | r->bit();
+    if (offset >= range) { offset -= range; return 1; }
+    return 0;
+  }
+  int terminate() {
+    range -= 2;
+    if (offset >= range) return 1;
+    while (range < 256) {
+      range <<= 1;
+      offset = (offset << 1) | r->bit();
+    }
+    return 0;
+  }
+};
+
+struct SliceDecoder {
+  CabacDec c;
+  FrameCommitter fc;            // reconstruction + availability
+  int W = 0, H = 0, log2_ctu = 5;
+  bool dep_quant = true, transform_skip_enabled = true, cclm_enabled = true;
+  const int32_t* ls_tab = nullptr;  // [2][4] (min(c,1), log2-2)
+  const int32_t* bd_tab = nullptr;
+  std::vector<int32_t> mode_map;
+  std::vector<uint8_t> mode_set;
+  std::vector<int16_t> cbw_map, cbh_map;
+  bool cu_qp_delta_coded = false;
+  int32_t pass1[32 * 32];
+  int32_t abs_lv[32 * 32];
+  int q_state = 0;
+  bool error = false;
+  int ecode = -1;
+
+  int n4w() const { return W >> 2; }
+  bool avail(int cx, int cy, int nx, int ny) const {
+    return fc.avail(cx, cy, nx, ny);
+  }
+
+  void mpm_list(int x, int y, int size, int out[5]) const {
+    int l = 0, a = 0;
+    int lx = x - 1, ly = y + size - 1;
+    if (x > 0 && mode_set[(ly >> 2) * n4w() + (lx >> 2)])
+      l = mode_map[(ly >> 2) * n4w() + (lx >> 2)];
+    int ax = x + size - 1, ay = y - 1;
+    int ctu_top = (y >> log2_ctu) << log2_ctu;
+    if (y > 0 && y - 1 >= ctu_top && mode_set[(ay >> 2) * n4w() + (ax >> 2)])
+      a = mode_map[(ay >> 2) * n4w() + (ax >> 2)];
+    auto fill = [&](int m0, int m1, int m2, int m3, int m4) {
+      out[0]=m0; out[1]=m1; out[2]=m2; out[3]=m3; out[4]=m4; };
+    if (l == a && l > 1) {
+      fill(l, 2+(l+61)%64, 2+(l-1)%64, 2+(l+60)%64, 2+l%64);
+    } else if (l != a && (l > 1 || a > 1)) {
+      int mn = std::min(l, a), mx = std::max(l, a);
+      if (mn > 1) {
+        int d = mx - mn;
+        if (d == 1) fill(l, a, 2+(mn+61)%64, 2+(mx-1)%64, 2+(mn+60)%64);
+        else if (d >= 62) fill(l, a, 2+(mn-1)%64, 2+(mx+61)%64, 2+mn%64);
+        else if (d == 2) fill(l, a, 2+(mn-1)%64, 2+(mn+61)%64, 2+(mx-1)%64);
+        else fill(l, a, 2+(mn+61)%64, 2+(mn-1)%64, 2+(mx+61)%64);
+      } else {
+        fill(mx, 2+(mx+61)%64, 2+(mx-1)%64, 2+(mx+60)%64, 2+mx%64);
+      }
+    } else {
+      fill(1, 50, 18, 46, 54);
+    }
+  }
+
+  int decode_luma_mode(int x, int y, int size) {
+    int cand[5];
+    mpm_list(x, y, size, cand);
+    int mode;
+    if (c.bin(SE_IntraLumaMpmFlag, 0)) {
+      if (c.bin(SE_IntraLumaNotPlanarFlag, 1)) {
+        int idx = 0;
+        while (idx < 4 && c.bypass()) ++idx;
+        mode = cand[idx];
+      } else {
+        mode = 0;
+      }
+    } else {
+      // TB(60): n=61, k=5, u=3
+      int v = 0;
+      for (int i = 0; i < 5; ++i) v = (v << 1) | c.bypass();
+      int rem = v < 3 ? v : ((v << 1) | c.bypass()) - 3;
+      int s[5]; std::memcpy(s, cand, sizeof(s));
+      std::sort(s, s + 5);
+      mode = rem + 1;
+      for (int i = 0; i < 5; ++i)
+        if (mode >= s[i]) ++mode;
+    }
+    return mode;
+  }
+
+  int decode_chroma_mode(int derived_luma) {
+    if (cclm_enabled && c.bin(SE_CclmModeFlag, 0)) {
+      int idx = 0;
+      if (c.bin(SE_CclmModeIdx, 0)) idx = 1 + c.bypass();
+      return 81 + idx;
+    }
+    int idx;
+    if (c.bin(SE_IntraChromaPredMode, 0))
+      idx = (c.bypass() << 1) | c.bypass();
+    else
+      idx = 4;
+    if (idx == 4) return derived_luma;
+    const int base[4] = {0, 50, 18, 1};
+    return derived_luma == base[idx] ? 66 : base[idx];
+  }
+
+  // --- ctx helpers (identical formulas to SliceCoder)
+  int local_template(int xc, int yc, int log2n, const int32_t* m,
+                     bool cap1) const {
+    int n = 1 << log2n;
+    int s = 0;
+    auto val = [&](int x, int y) {
+      int v = m[y * n + x];
+      return cap1 ? std::min(v, 1) : v;
+    };
+    if (xc < n - 1) {
+      s += val(xc + 1, yc);
+      if (xc < n - 2) s += val(xc + 2, yc);
+      if (yc < n - 1) s += val(xc + 1, yc + 1);
+    }
+    if (yc < n - 1) {
+      s += val(xc, yc + 1);
+      if (yc < n - 2) s += val(xc, yc + 2);
+    }
+    return s;
+  }
+  int sig_ctx(int xc, int yc, int c_idx, int log2n) const {
+    int sum_p1 = local_template(xc, yc, log2n, pass1, false);
+    int d = xc + yc;
+    int qs = dep_quant ? std::max(q_state - 1, 0) : 0;
+    if (c_idx == 0)
+      return 12 * qs + std::min((sum_p1 + 1) >> 1, 3) +
+             (d < 2 ? 8 : d < 5 ? 4 : 0);
+    return 36 + 8 * qs + std::min((sum_p1 + 1) >> 1, 3) + (d < 2 ? 4 : 0);
+  }
+  int gtx_ctx(int xc, int yc, int c_idx, int log2n, int j, int lx,
+              int ly) const {
+    int sum_p1 = local_template(xc, yc, log2n, pass1, false);
+    int num_sig = local_template(xc, yc, log2n, pass1, true);
+    int off = std::min(sum_p1 - num_sig, 4);
+    int d = xc + yc;
+    int inc;
+    if (xc == lx && yc == ly) inc = c_idx == 0 ? 0 : 21;
+    else if (c_idx == 0)
+      inc = 1 + off + (d == 0 ? 15 : d < 3 ? 10 : d < 10 ? 5 : 0);
+    else
+      inc = 22 + off + (d == 0 ? 5 : 0);
+    if (j == 1) inc += 32;
+    return inc;
+  }
+  int rice_param(int xc, int yc, int log2n, int base) const {
+    int s = local_template(xc, yc, log2n, abs_lv, false);
+    s = std::min(std::max(s - base * 5, 0), 31);
+    return kRiceParams[s];
+  }
+
+  int64_t decode_rice_escape(int rice) {
+    int prefix = 0;
+    while (prefix < 6 && c.bypass()) ++prefix;
+    if (prefix < 6) {
+      int64_t v = prefix;
+      for (int i = 0; i < rice; ++i) v = (v << 1) | c.bypass();
+      return v;
+    }
+    int64_t c_max = int64_t{6} << rice;
+    int k = rice + 1;
+    int pre = 0;
+    while (pre < 11 && c.bypass()) ++pre;
+    int esc = pre == 11 ? 15 : pre + k;
+    int64_t rem = 0;
+    for (int i = 0; i < esc; ++i) rem = (rem << 1) | c.bypass();
+    return c_max + ((((int64_t)1 << pre) - 1) << k) + rem;
+  }
+
+  int decode_last_prefix_suffix(int se, int c_idx, int log2n) {
+    int c_max = (std::min(log2n, 5) << 1) - 1;
+    static const int OFFSET_Y[6] = {0, 0, 3, 6, 10, 15};
+    auto ctx = [&](int b) {
+      int off, shift;
+      if (c_idx == 0) { off = OFFSET_Y[log2n - 1]; shift = (log2n + 1) >> 2; }
+      else { off = 20; shift = std::min(std::max((1 << log2n) >> 3, 0), 2); }
+      return (b >> shift) + off;
+    };
+    int prefix = 0;
+    while (prefix < c_max && c.bin(se, ctx(prefix))) ++prefix;
+    if (prefix <= 3) return prefix;
+    int nb = (prefix >> 1) - 1;
+    int suffix = 0;
+    for (int i = 0; i < nb; ++i) suffix = (suffix << 1) | c.bypass();
+    return ((2 + (prefix & 1)) << nb) + suffix;
+  }
+
+  // decode one residual block into q (int16 n*n)
+  void decode_residual(int16_t* q, int log2n, int c_idx) {
+    int n = 1 << log2n;
+    int P = n * n;
+    std::memset(q, 0, sizeof(int16_t) * P);
+    std::memset(pass1, 0, sizeof(int32_t) * P);
+    std::memset(abs_lv, 0, sizeof(int32_t) * P);
+    const auto& sx = g_scan.scan_x[log2n];
+    const auto& sy = g_scan.scan_y[log2n];
+
+    int last_x = decode_last_prefix_suffix(SE_LastSigCoeffXPrefix, c_idx,
+                                           log2n);
+    int last_y = decode_last_prefix_suffix(SE_LastSigCoeffYPrefix, c_idx,
+                                           log2n);
+    int last_idx = -1;
+    for (int i = 0; i < P; ++i)
+      if (sx[i] == last_x && sy[i] == last_y) { last_idx = i; break; }
+    if (last_idx < 0) { error = true; ecode = -5; return; }
+
+    int num_sb_coeff = std::min(P, 16);
+    int sb_sz = num_sb_coeff == 16 ? 4 : n;
+    int nsb_dim = n / sb_sz;
+    int last_sb = last_idx / num_sb_coeff;
+    int last_scan_pos = last_idx % num_sb_coeff;
+
+    int rem_bins = (P * 7) >> 2;
+    q_state = 0;
+    std::vector<uint8_t> sb_coded_map(nsb_dim * nsb_dim, 0);
+    int8_t sign_map[32 * 32];
+
+    for (int i = last_sb; i >= 0; --i) {
+      int x0 = sx[i * num_sb_coeff] & ~(sb_sz - 1);
+      int y0 = sy[i * num_sb_coeff] & ~(sb_sz - 1);
+      int sxs = x0 / sb_sz, sys = y0 / sb_sz;
+      int start_q_state = q_state;
+      int64_t sb_abs[16] = {0};
+      std::memset(sign_map, 0, sizeof(sign_map));
+
+      bool sb_coded;
+      bool infer_dc = false;
+      if (i < last_sb && i > 0) {
+        int csbf = 0;
+        if (sxs < nsb_dim - 1) csbf += sb_coded_map[sys * nsb_dim + sxs + 1];
+        if (sys < nsb_dim - 1) csbf += sb_coded_map[(sys + 1) * nsb_dim + sxs];
+        csbf = std::min(csbf, 1);
+        int inc = c_idx == 0 ? csbf : 2 + csbf;
+        sb_coded = c.bin(SE_SbCodedFlag, inc);
+        infer_dc = true;
+      } else {
+        sb_coded = true;
+      }
+      sb_coded_map[sys * nsb_dim + sxs] = sb_coded;
+
+      int first_pos_mode0 = (i == last_sb) ? last_scan_pos
+                                           : num_sb_coeff - 1;
+      int first_pos_mode1 = first_pos_mode0;
+
+      for (int p = first_pos_mode0; p >= 0; --p) {
+        if (rem_bins < 4) break;
+        int gi = i * num_sb_coeff + p;
+        int xc = sx[gi], yc = sy[gi];
+        bool is_last = (xc == last_x && yc == last_y);
+        bool in_sb_dc = (xc % sb_sz == 0) && (yc % sb_sz == 0);
+        bool emitted = sb_coded && (p > 0 || !infer_dc) && !is_last;
+        int sig;
+        if (emitted) {
+          sig = c.bin(SE_SigCoeffFlag, sig_ctx(xc, yc, c_idx, log2n));
+          --rem_bins;
+          if (sig) infer_dc = false;
+        } else {
+          sig = is_last ? 1 : (in_sb_dc && infer_dc && sb_coded ? 1 : 0);
+        }
+        int gt0 = 0, par = 0, gt1 = 0;
+        if (sig) {
+          gt0 = c.bin(SE_AbsLevelGtxFlag,
+                      gtx_ctx(xc, yc, c_idx, log2n, 0, last_x, last_y));
+          --rem_bins;
+          if (gt0) {
+            par = c.bin(SE_ParLevelFlag,
+                        gtx_ctx(xc, yc, c_idx, log2n, -1, last_x, last_y));
+            gt1 = c.bin(SE_AbsLevelGtxFlag,
+                        gtx_ctx(xc, yc, c_idx, log2n, 1, last_x, last_y));
+            rem_bins -= 2;
+          }
+        }
+        int p1 = sig + par + gt0 + 2 * gt1;
+        pass1[yc * n + xc] = p1;
+        sb_abs[p] = p1;
+        if (dep_quant) q_state = kQStateTrans[q_state][p1 & 1];
+        first_pos_mode1 = p - 1;
+      }
+      // pass 2
+      for (int p = first_pos_mode0; p > first_pos_mode1; --p) {
+        int gi = i * num_sb_coeff + p;
+        int xc = sx[gi], yc = sy[gi];
+        int p1 = pass1[yc * n + xc];
+        int64_t rem = 0;
+        if (p1 >= 4) {
+          int rice = rice_param(xc, yc, log2n, 4);
+          rem = decode_rice_escape(rice);
+        }
+        abs_lv[yc * n + xc] = (int32_t)(p1 + 2 * rem);
+        sb_abs[p] = abs_lv[yc * n + xc];
+      }
+      // pass 3
+      for (int p = first_pos_mode1; p >= 0; --p) {
+        int gi = i * num_sb_coeff + p;
+        int xc = sx[gi], yc = sy[gi];
+        if (sb_coded) {
+          int rice = rice_param(xc, yc, log2n, 0);
+          int64_t zero_pos = (int64_t)(dep_quant ? (q_state < 2 ? 1 : 2) : 1)
+                             << rice;
+          int64_t dec = decode_rice_escape(rice);
+          int64_t v = dec == zero_pos ? 0 : (dec < zero_pos ? dec + 1 : dec);
+          sb_abs[p] = v;
+        }
+        abs_lv[yc * n + xc] = (int32_t)sb_abs[p];
+        if (dep_quant) q_state = kQStateTrans[q_state][sb_abs[p] & 1];
+      }
+      // signs
+      for (int p = num_sb_coeff - 1; p >= 0; --p) {
+        int gi = i * num_sb_coeff + p;
+        int xc = sx[gi], yc = sy[gi];
+        if (sb_abs[p] > 0) sign_map[yc * n + xc] = (int8_t)c.bypass();
+      }
+      // reconstruct stored q levels
+      int qs = start_q_state;
+      for (int p = num_sb_coeff - 1; p >= 0; --p) {
+        int gi = i * num_sb_coeff + p;
+        int xc = sx[gi], yc = sy[gi];
+        int64_t a = sb_abs[p];
+        int64_t mag;
+        if (dep_quant) {
+          mag = a > 0 ? 2 * a - (qs > 1 ? 1 : 0) : 0;
+          qs = kQStateTrans[qs][a & 1];
+        } else {
+          mag = a;
+        }
+        q[yc * n + xc] = (int16_t)(sign_map[yc * n + xc] ? -mag : mag);
+      }
+    }
+  }
+
+  // reconstruct one component of a CU from decoded coefficients
+  void reconstruct(int c_comp, int x, int y, int log2, int mode,
+                   const int16_t* q, bool any) {
+    int sh = c_comp == 0 ? 0 : 1;
+    int s = 1 << (log2 - sh);
+    int cx = x >> sh, cy = y >> sh;
+    int pw = W >> sh;
+    int32_t pred[32 * 32];
+    if (c_comp != 0 && mode >= 81) {
+      fc.pred_c_ = c_comp;
+      fc.predict_cclm(mode, cx, cy, s, pred);
+    } else {
+      int32_t left[65], above[64];
+      fc.gather_refs(c_comp, cx, cy, s, x, y, left, above);
+      FrameCommitter::filter_refs(left, above, s, c_comp, mode);
+      fc.predict(c_comp, mode, left, above, s, pred);
+    }
+    int32_t* rp = fc.plane[c_comp];
+    if (!any) {
+      for (int yy = 0; yy < s; ++yy)
+        for (int xx = 0; xx < s; ++xx)
+          rp[(cy + yy) * pw + cx + xx] = pred[yy * s + xx];
+      return;
+    }
+    int ci = c_comp == 0 ? 0 : 1;
+    int32_t ls = ls_tab[ci * 4 + (log2 - sh - 2)];
+    int32_t bd = bd_tab[ci * 4 + (log2 - sh - 2)];
+    int64_t bd_off = ((int64_t)1 << bd) >> 1;
+    int16_t d[32 * 32];
+    for (int i = 0; i < s * s; ++i) {
+      int64_t v = ((int64_t)q[i] * ls + bd_off) >> bd;
+      if (v < -32768) v = -32768;
+      if (v > 32767) v = 32767;
+      d[i] = (int16_t)v;
+    }
+    int32_t r[32 * 32];
+    fc.inverse_dct2(d, s, r);
+    for (int yy = 0; yy < s; ++yy)
+      for (int xx = 0; xx < s; ++xx) {
+        int v = pred[yy * s + xx] + r[yy * s + xx];
+        rp[(cy + yy) * pw + cx + xx] = v < 0 ? 0 : (v > 255 ? 255 : v);
+      }
+  }
+
+  void decode_cu(int x, int y, int log2, int tree) {
+    int size = 1 << log2;
+    int luma_mode = 0, chroma_mode = 0;
+    if (tree != 2) luma_mode = decode_luma_mode(x, y, size);
+    if (tree != 1) {
+      int derived;
+      if (tree == 2) {
+        int cxc = x + size / 2, cyc = y + size / 2;
+        derived = mode_map[(cyc >> 2) * n4w() + (cxc >> 2)];
+      } else derived = luma_mode;
+      chroma_mode = decode_chroma_mode(derived);
+    }
+    if (tree != 2) {
+      int x4 = x >> 2, y4 = y >> 2, nn = std::max(size >> 2, 1);
+      for (int yy = 0; yy < nn; ++yy)
+        for (int xx = 0; xx < nn; ++xx) {
+          mode_map[(y4 + yy) * n4w() + x4 + xx] = luma_mode;
+          mode_set[(y4 + yy) * n4w() + x4 + xx] = 1;
+        }
+    }
+    // transform unit
+    bool luma_active = tree != 2;
+    bool chroma_active = tree != 1;
+    int cb_coded = 0, cr_coded = 0, y_coded = 0;
+    if (chroma_active) {
+      cb_coded = c.bin(SE_TuCbCodedFlag, 0);
+      cr_coded = c.bin(SE_TuCrCodedFlag, cb_coded ? 1 : 0);
+    }
+    if (luma_active) y_coded = c.bin(SE_TuYCodedFlag, 0);
+    if ((y_coded || cb_coded || cr_coded) && tree != 2
+        && !cu_qp_delta_coded) {
+      if (c.bin(SE_CuQpDeltaAbs, 0) != 0) { error = true; ecode = -3; return; }
+      cu_qp_delta_coded = true;
+    }
+    int16_t qbuf[32 * 32];
+    if (luma_active) {
+      if (y_coded) {
+        if (transform_skip_enabled && c.bin(SE_TransformSkipFlag, 0)) {
+          error = true; ecode = -4; return;
+        }
+        decode_residual(qbuf, log2, 0);
+        reconstruct(0, x, y, log2, luma_mode, qbuf, true);
+      } else {
+        reconstruct(0, x, y, log2, luma_mode, nullptr, false);
+      }
+    }
+    if (chroma_active) {
+      if (cb_coded) {
+        if (transform_skip_enabled && c.bin(SE_TransformSkipFlag, 1)) {
+          error = true; ecode = -6; return;
+        }
+        decode_residual(qbuf, log2 - 1, 1);
+        reconstruct(1, x, y, log2, chroma_mode, qbuf, true);
+      } else {
+        reconstruct(1, x, y, log2, chroma_mode, nullptr, false);
+      }
+      if (cr_coded) {
+        if (transform_skip_enabled && c.bin(SE_TransformSkipFlag, 1)) {
+          error = true; ecode = -7; return;
+        }
+        decode_residual(qbuf, log2 - 1, 2);
+        reconstruct(2, x, y, log2, chroma_mode, qbuf, true);
+      } else {
+        reconstruct(2, x, y, log2, chroma_mode, nullptr, false);
+      }
+    }
+  }
+
+  void decode_tree(int x, int y, int log2, int tree) {
+    if (error) return;
+    int size = 1 << log2;
+    bool allow_qt = (tree != 2) && size > 4;
+    bool split = false;
+    if (allow_qt && y + size <= H) {
+      bool al = avail(x, y, x - 1, y);
+      bool aa = avail(x, y, x, y - 1);
+      int cond_l = al && cbh_map[(y >> 2) * n4w() + ((x - 1) >> 2)] < size;
+      int cond_a = aa && cbw_map[((y - 1) >> 2) * n4w() + (x >> 2)] < size;
+      split = c.bin(SE_SplitCuFlag, cond_l + cond_a);
+    } else if (allow_qt) {
+      split = true;   // bottom-boundary CTUs would force split; H%32==0 here
+    }
+    if (split) {
+      int half = size >> 1;
+      bool scipu = (tree == 0 && size == 8);
+      for (int i = 0; i < 4; ++i)
+        decode_tree(x + (i % 2) * half, y + (i / 2) * half, log2 - 1,
+                    scipu ? 1 : tree);
+      if (scipu) decode_tree(x, y, log2, 2);
+    } else {
+      if (tree != 2) {
+        int x4 = x >> 2, y4 = y >> 2, nn = std::max(size >> 2, 1);
+        for (int yy = 0; yy < nn; ++yy)
+          for (int xx = 0; xx < nn; ++xx) {
+            cbw_map[(y4 + yy) * n4w() + x4 + xx] = (int16_t)size;
+            cbh_map[(y4 + yy) * n4w() + x4 + xx] = (int16_t)size;
+          }
+      }
+      decode_cu(x, y, log2, tree);
+    }
+  }
+};
+
+}  // namespace
+
+// Decode one slice's payload (post-SH, de-emulated RBSP bytes) into the
+// recon planes. Returns 0 on success, negative on parse error.
+extern "C" int wrenc_decode_slice(
+    int W, int H, int log2_ctu, int qp, int dep_quant, int ts_enabled,
+    int cclm_enabled,
+    const int32_t* se_off, int n_se,
+    const int32_t* init_vals, const int32_t* shift_vals, int n_ctx,
+    const uint8_t* data, int64_t n_bytes,
+    int wpp, const int64_t* entry_lens, int n_entry,
+    const int32_t* ls_tab, const int32_t* bd_tab,
+    const int32_t* dct4, const int32_t* dct8, const int32_t* dct16,
+    const int32_t* dct32, const int32_t* angle_tab, const int32_t* fc_tab,
+    const int32_t* fg_tab, const int32_t* pdpc_w, const int32_t* cclm_div,
+    int32_t* rec_y, int32_t* rec_cb, int32_t* rec_cr) {
+  CommitTabs tabs;
+  tabs.dct[0] = dct4; tabs.dct[1] = dct8; tabs.dct[2] = dct16;
+  tabs.dct[3] = dct32;
+  tabs.angle = angle_tab; tabs.fc = fc_tab; tabs.fg = fg_tab;
+  tabs.pdpc_w = pdpc_w; tabs.cclm_div = cclm_div;
+  tabs.ls_tab = ls_tab; tabs.bd_tab = bd_tab; tabs.lam_dq = nullptr;
+  tabs.dep_quant = dep_quant; tabs.trellis = 0;
+
+  SliceDecoder sd;
+  sd.W = W; sd.H = H; sd.log2_ctu = log2_ctu;
+  sd.dep_quant = dep_quant; sd.transform_skip_enabled = ts_enabled;
+  sd.cclm_enabled = cclm_enabled;
+  sd.ls_tab = ls_tab; sd.bd_tab = bd_tab;
+  sd.mode_map.assign((W >> 2) * (H >> 2), 0);
+  sd.mode_set.assign((W >> 2) * (H >> 2), 0);
+  sd.cbw_map.assign((W >> 2) * (H >> 2), 0);
+  sd.cbh_map.assign((W >> 2) * (H >> 2), 0);
+  sd.fc.W = W; sd.fc.H = H; sd.fc.log2_ctu = log2_ctu; sd.fc.tabs = &tabs;
+  sd.fc.plane[0] = rec_y; sd.fc.plane[1] = rec_cb; sd.fc.plane[2] = rec_cr;
+  std::memset(rec_y, 0, sizeof(int32_t) * W * H);
+  std::memset(rec_cb, 0, sizeof(int32_t) * (W / 2) * (H / 2));
+  std::memset(rec_cr, 0, sizeof(int32_t) * (W / 2) * (H / 2));
+
+  sd.c.se_off.assign(se_off, se_off + n_se);
+  sd.c.s0.resize(n_ctx);
+  sd.c.s1.resize(n_ctx);
+  sd.c.shift_idx.resize(n_ctx);
+  int qp_c = std::min(std::max(qp, 0), 63);
+  for (int i = 0; i < n_ctx; ++i) {
+    int init = init_vals[i];
+    int slope = (init >> 3) - 4;
+    int offs = (init & 7) * 18 + 1;
+    int pre = ((slope * (qp_c - 16)) >> 1) + offs;
+    pre = std::min(std::max(pre, 1), 127);
+    sd.c.s0[i] = (uint16_t)(pre << 3);
+    sd.c.s1[i] = (uint16_t)(pre << 7);
+    sd.c.shift_idx[i] = (uint8_t)shift_vals[i];
+  }
+
+  int cs = 1 << log2_ctu;
+  int n_cols = W / cs, n_rows = H / cs;
+  int n_ctu = n_cols * n_rows;
+  bool use_wpp = wpp && n_rows > 1;
+
+  std::vector<int64_t> starts(1, 0);
+  for (int i = 0; i < n_entry; ++i)
+    starts.push_back(starts.back() + entry_lens[i]);
+
+  BitSource src{data, n_bytes * 8};
+  sd.c.r = &src;
+  sd.c.init_engine();
+  std::vector<uint16_t> snap0, snap1;
+
+  int idx = 0;
+  for (int r = 0; r < n_rows; ++r) {
+    if (use_wpp && r > 0) {
+      src.pos = starts[r] * 8;
+      sd.c.s0 = snap0;
+      sd.c.s1 = snap1;
+      sd.c.init_engine();
+    }
+    for (int col = 0; col < n_cols; ++col) {
+      sd.cu_qp_delta_coded = false;
+      sd.decode_tree(col * cs, r * cs, log2_ctu, 0);
+      if (sd.error) return sd.ecode * 1000 - idx;
+      if (use_wpp && col == 0) { snap0 = sd.c.s0; snap1 = sd.c.s1; }
+      int end = sd.c.terminate();
+      bool last = idx == n_ctu - 1;
+      int want = (last || (use_wpp && col == n_cols - 1)) ? 1 : 0;
+      if (end != want) return -2;
+      ++idx;
+    }
+  }
+  return 0;
+}
