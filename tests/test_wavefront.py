@@ -69,3 +69,37 @@ def test_frame_sharded_encode_matches_single():
         .encode(frames)
     s2, _ = Encoder(cfg, search=WavefrontSearch(cfg)).encode(frames)
     assert s1 == s2
+
+
+@pytest.mark.parametrize("rd_commit", [False, True])
+def test_commit_mode_redecision_roundtrip(rd_commit):
+    """Both commit paths (stage-A modes as-is vs commit-time re-decision
+    on the true reconstruction) must yield conformant streams; re-decision
+    must not lose RD quality (cost = ssd + lam*bits at the search lambda)."""
+    cfg = EncoderConfig(width=64, height=64, qp=30)
+    frame = synth_frame(64, 64, seed=5)
+    ws = WavefrontSearch(cfg, rd_commit=rd_commit)
+    stream, recons = Encoder(cfg, search=ws).encode([frame])
+    dec = decode_annexb(stream)
+    for c in range(3):
+        assert (dec[0][c] == recons[0][c]).all(), c
+
+
+def test_rd_commit_improves_lagrangian_cost():
+    """Re-decision optimizes ssd + lam*rate; on real-ish content the
+    realized Lagrangian cost (true SSD + lam*8*bytes) should not regress."""
+    cfg = EncoderConfig(width=64, height=64, qp=30)
+    frame = synth_frame(64, 64, seed=11)
+
+    def run(rd):
+        ws = WavefrontSearch(cfg, rd_commit=rd)
+        stream, recons = Encoder(cfg, search=ws).encode([frame])
+        ssd = sum(((recons[0][c].astype(np.int64)
+                    - frame[c].astype(np.int64)) ** 2).sum() for c in range(3))
+        return ssd, len(stream), ws.lam
+
+    ssd0, b0, lam = run(False)
+    ssd1, b1, _ = run(True)
+    cost0 = ssd0 + lam * 8 * b0
+    cost1 = ssd1 + lam * 8 * b1
+    assert cost1 <= cost0 * 1.02, (cost0, cost1)

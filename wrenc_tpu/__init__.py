@@ -30,4 +30,21 @@ def _enable_compilation_cache():
         pass
 
 
+def _apply_platform_override():
+    """Honor WRENC_JAX_PLATFORM=cpu|tpu|... at package import. In this
+    environment JAX_PLATFORMS alone does not reliably stick for fresh
+    processes (the axon PJRT plugin registers regardless); calling
+    jax.config.update before any backend is initialized does."""
+    import os
+    plat = os.environ.get("WRENC_JAX_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 _enable_compilation_cache()
+_apply_platform_override()

@@ -40,6 +40,7 @@ def _get():
             lib.wrenc_greedy_quant.restype = None
             lib.wrenc_encode_slice.restype = ctypes.c_int64
             lib.wrenc_commit_frames.restype = None
+            lib.wrenc_commit_frames_rd.restype = None
             lib.wrenc_chroma_stage_a.restype = None
             _lib = lib
         except Exception:
@@ -270,6 +271,132 @@ def commit_frames_native(cfg, origs, cu_lists, ls_tab, bd_tab, lam_dq,
                 s = 1 << (cu.log2 - (0 if c == 0 else 1))
                 cu.coeffs[c] = coeffs[off:off + s * s] \
                     .reshape(s, s).copy()
+    return [(ry[f], rcb[f], rcr[f]) for f in range(F)]
+
+
+def rd_commit_supported():
+    return available()
+
+
+def commit_frames_rd_native(cfg, origs, cu_lists, ls_tab, bd_tab, lam_dq,
+                            trellis, lv_trellis, n_threads=0):
+    """Native commit with mode re-decision on true reconstruction.
+
+    Like commit_frames_native, but each CU's luma mode is re-chosen among
+    its stage-A candidates (cu.cands) by full trellis RD against the
+    rolling reconstruction, and the chroma CCLM-vs-derived decision is
+    re-made the same way (the reference's decision discipline,
+    block_splitter.rs:110,1039-1076). Updates cu.luma_mode/chroma_mode and
+    cu.coeffs in place; returns recon planes per frame.
+    """
+    import os
+    from ...core import tables
+    lib = _get()
+    F = len(origs)
+    W, H = cfg.width, cfg.height
+    oy = np.ascontiguousarray(np.stack([o[0] for o in origs]), dtype=np.int32)
+    ocb = np.ascontiguousarray(np.stack([o[1] for o in origs]), dtype=np.int32)
+    ocr = np.ascontiguousarray(np.stack([o[2] for o in origs]), dtype=np.int32)
+    ry = np.zeros_like(oy)
+    rcb = np.zeros_like(ocb)
+    rcr = np.zeros_like(ocr)
+
+    n_cand = 1
+    for cus in cu_lists:
+        for cu in cus:
+            c = getattr(cu, 'cands', None)
+            if c is not None:
+                n_cand = max(n_cand, len(c))
+
+    meta = []
+    cands = []
+    frame_off = [0]
+    coeff_off = []
+    total = 0
+    for cus in cu_lists:
+        for cu in cus:
+            meta.extend([cu.x, cu.y, cu.log2, _TREE_ID[cu.tree],
+                         cu.luma_mode, cu.chroma_mode])
+            cl = list(getattr(cu, 'cands', None) or [cu.luma_mode])
+            cands.extend(cl + [-1] * (n_cand - len(cl)))
+            for c in range(3):
+                has = (c == 0 and cu.tree != 'C') or (c > 0 and cu.tree != 'L')
+                if has:
+                    sz = (1 << (cu.log2 - (0 if c == 0 else 1))) ** 2
+                    coeff_off.append(total)
+                    total += sz
+                else:
+                    coeff_off.append(-1)
+        frame_off.append(frame_off[-1] + len(cus))
+    n_cus = frame_off[-1]
+    meta = np.array(meta, dtype=np.int32)
+    cands = np.array(cands, dtype=np.int32)
+    frame_off = np.array(frame_off, dtype=np.int64)
+    coeff_off = np.array(coeff_off, dtype=np.int64)
+    coeffs = np.zeros(max(total, 1), dtype=np.int16)
+    modes_out = np.zeros(n_cus * 2, dtype=np.int32)
+
+    rm, dep = cfg.rate_model, cfg.dep_quant_enabled
+    rd_consts = np.array([
+        2.0 ** (cfg.qp / rm.pick('qp_div', dep, True))
+        * rm.pick('lambda_mul', dep, True),
+        rm.pick('planar_offset', dep, True),
+        rm.pick('non_planar_offset', dep, True),
+        rm.pick('mpm_idx_offset', dep, True), rm.mpm_idx_pow,
+        rm.pick('mpm_remainder_mult', dep, True),
+        rm.pick('mpm_remainder_offset', dep, True), rm.mpm_remainder_pow,
+        rm.pick('cclm_offset', dep, True),
+        rm.pick('cclm_mode_idx_offset', dep, True), rm.cclm_pow,
+        rm.pick('non_cclm_offset', dep, True),
+    ], dtype=np.float64)
+    lv = np.ascontiguousarray(lv_trellis, dtype=np.int64)
+
+    def c32(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    dcts = [c32(tables.dct2_matrix(n)) for n in (4, 8, 16, 32)]
+    ls_tab = c32(ls_tab)
+    bd_tab = c32(bd_tab)
+    lam = c32(lam_dq)
+    if n_threads <= 0:
+        n_threads = min(F, os.cpu_count() or 1)
+
+    lib.wrenc_commit_frames_rd(
+        ctypes.c_int(W), ctypes.c_int(H), ctypes.c_int(cfg.log2_ctu_size),
+        ctypes.c_int(F), ctypes.c_int(n_threads),
+        _i32p(oy), _i32p(ocb), _i32p(ocr),
+        _i32p(ry), _i32p(rcb), _i32p(rcr),
+        _i32p(meta), _i64p(frame_off), _i64p(coeff_off),
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        _i32p(ls_tab), _i32p(bd_tab), _i32p(lam),
+        ctypes.c_int(1 if cfg.dep_quant_enabled else 0),
+        ctypes.c_int(1 if trellis else 0),
+        ctypes.c_int(1 if cfg.cclm_enabled else 0),
+        _i32p(cands), ctypes.c_int(n_cand),
+        rd_consts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _i64p(lv),
+        _i32p(modes_out),
+        _i32p(dcts[0]), _i32p(dcts[1]), _i32p(dcts[2]), _i32p(dcts[3]),
+        _i32p(c32(tables.INTRA_ANGLE_TABLE)), _i32p(c32(tables.F_C)),
+        _i32p(c32(tables.F_G)), _i32p(c32(tables.PDPC_WEIGHTS)),
+        _i32p(c32(tables.CCLM_DIV_SIG_TABLE)))
+
+    k = 0
+    i = 0
+    for cus in cu_lists:
+        for cu in cus:
+            if cu.tree != 'C':
+                cu.luma_mode = int(modes_out[i * 2])
+            if cu.tree != 'L':
+                cu.chroma_mode = int(modes_out[i * 2 + 1])
+            i += 1
+            for c in range(3):
+                off = coeff_off[k]
+                k += 1
+                if off < 0:
+                    continue
+                s = 1 << (cu.log2 - (0 if c == 0 else 1))
+                cu.coeffs[c] = coeffs[off:off + s * s].reshape(s, s).copy()
     return [(ry[f], rcb[f], rcr[f]) for f in range(F)]
 
 

@@ -12,6 +12,7 @@
 // golden-tested against round-trip decode); the Python implementations stay
 // as the readable reference and fallback.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -1478,6 +1479,439 @@ extern "C" void wrenc_commit_frames(
         fc_.commit_comp(2, x, y, log2, cm,
                         coeffs_out + coeff_off[i * 3 + 2]);
       }
+    }
+  };
+  if (n_threads <= 1 || n_frames <= 1) {
+    for (int f = 0; f < n_frames; ++f) run_frame(f);
+  } else {
+    std::vector<std::thread> ts;
+    std::atomic_int next{0};
+    for (int t = 0; t < std::min(n_threads, n_frames); ++t)
+      ts.emplace_back([&] {
+        int f;
+        while ((f = next.fetch_add(1)) < n_frames) run_frame(f);
+      });
+    for (auto& th : ts) th.join();
+  }
+}
+
+// ==================================================== commit-time RD re-pick
+// The reference decides modes against TRUE reconstructions
+// (block_splitter.rs:110 uses the rolling recon planes); stage A decides on
+// original-pixel references. This pass re-runs the leaf mode decision in
+// coding order on the true reconstruction, restricted to the stage-A
+// candidate list: per CU, every candidate gets the full
+// predict -> DCT -> trellis DQ -> dequant -> inverse -> SSD evaluation plus
+// the exact rate model (level-rate walk + MPM-aware mode bits,
+// block_splitter.rs:377-473), and the chroma CCLM-vs-derived decision is
+// re-made the same way (block_splitter.rs:1039-1076). The partition stays
+// as stage A chose it.
+namespace {
+
+struct RdConsts {
+  const int64_t* lv;  // 1024-entry level-rate table (trellis variant)
+  double lam;
+  double planar_offset, non_planar_offset;
+  double mpm_idx_offset, mpm_idx_pow;
+  double mpm_remainder_mult, mpm_remainder_offset, mpm_remainder_pow;
+  double cclm_offset, cclm_mode_idx_offset, cclm_pow, non_cclm_offset;
+  int cclm_enabled, dep_quant;
+};
+
+struct RdCommitter {
+  FrameCommitter fc;
+  const RdConsts* rd;
+  // MPM state at 4x4 granularity (coding order), as in spec/encoder.py
+  // _search_mpm / SliceCoder::mpm_list
+  std::vector<int32_t> mode_map;
+  std::vector<uint8_t> mode_set;
+
+  int n4w() const { return fc.W >> 2; }
+
+  void set_mode_map(int x, int y, int size, int mode) {
+    int x4 = x >> 2, y4 = y >> 2, nn = std::max(size >> 2, 1);
+    for (int yy = 0; yy < nn; ++yy)
+      for (int xx = 0; xx < nn; ++xx) {
+        mode_map[(y4 + yy) * n4w() + x4 + xx] = mode;
+        mode_set[(y4 + yy) * n4w() + x4 + xx] = 1;
+      }
+  }
+
+  void mpm_list(int x, int y, int size, int out[5]) const {
+    int l = 0, a = 0;
+    int lx = x - 1, ly = y + size - 1;
+    if (x > 0 && mode_set[(ly >> 2) * n4w() + (lx >> 2)])
+      l = mode_map[(ly >> 2) * n4w() + (lx >> 2)];
+    int ax = x + size - 1, ay = y - 1;
+    int ctu_top = (y >> fc.log2_ctu) << fc.log2_ctu;
+    if (y > 0 && y - 1 >= ctu_top && mode_set[(ay >> 2) * n4w() + (ax >> 2)])
+      a = mode_map[(ay >> 2) * n4w() + (ax >> 2)];
+    auto fill = [&](int m0, int m1, int m2, int m3, int m4) {
+      out[0]=m0; out[1]=m1; out[2]=m2; out[3]=m3; out[4]=m4; };
+    if (l == a && l > 1) {
+      fill(l, 2+(l+61)%64, 2+(l-1)%64, 2+(l+60)%64, 2+l%64);
+    } else if (l != a && (l > 1 || a > 1)) {
+      int mn = std::min(l, a), mx = std::max(l, a);
+      if (mn > 1) {
+        int d = mx - mn;
+        if (d == 1) fill(l, a, 2+(mn+61)%64, 2+(mx-1)%64, 2+(mn+60)%64);
+        else if (d >= 62) fill(l, a, 2+(mn-1)%64, 2+(mx+61)%64, 2+mn%64);
+        else if (d == 2) fill(l, a, 2+(mn-1)%64, 2+(mn+61)%64, 2+(mx-1)%64);
+        else fill(l, a, 2+(mn+61)%64, 2+(mn-1)%64, 2+(mx+61)%64);
+      } else {
+        fill(mx, 2+(mx+61)%64, 2+(mx-1)%64, 2+(mx+60)%64, 2+mx%64);
+      }
+    } else {
+      fill(1, 50, 18, 46, 54);
+    }
+  }
+
+  // mode-bits estimate for a luma mode given the MPM list
+  // (spec/encoder.py _mode_bits; block_splitter.rs:377-398)
+  double luma_mode_bits(int mode, const int cand[5]) const {
+    if (mode == 0) return rd->planar_offset;
+    for (int i = 0; i < 5; ++i)
+      if (cand[i] == mode)
+        return rd->non_planar_offset +
+               std::pow(i + rd->mpm_idx_offset, rd->mpm_idx_pow);
+    int s[5]; std::memcpy(s, cand, sizeof(s));
+    std::sort(s, s + 5);
+    int rem;
+    if (mode > s[4]) rem = mode - 6;
+    else if (mode > s[3]) rem = mode - 5;
+    else if (mode > s[2]) rem = mode - 4;
+    else if (mode > s[1]) rem = mode - 3;
+    else if (mode > s[0]) rem = mode - 2;
+    else rem = mode - 1;
+    return rd->non_planar_offset +
+           rd->mpm_remainder_mult *
+               std::pow(rem + rd->mpm_remainder_offset,
+                        rd->mpm_remainder_pow);
+  }
+
+  // level-rate walk over the quantized block in coding order
+  // (spec/encoder.py _level_rate; block_splitter.rs:415-471)
+  int64_t level_rate(const int16_t* q, int log2n) const {
+    const int n = 1 << log2n;
+    const int P = n * n;
+    const auto& sx = g_scan.scan_x[log2n];
+    const auto& sy = g_scan.scan_y[log2n];
+    int64_t total = 0;
+    if (!rd->dep_quant) {
+      for (int i = 0; i < P; ++i) {
+        int64_t v = std::abs((int)q[i]);
+        total += rd->lv[v > 1023 ? 1023 : v];
+      }
+      return total;
+    }
+    int qs = 0;
+    bool trailing = true;
+    for (int p = 0; p < P; ++p) {
+      int idx = P - 1 - p;
+      int v = std::abs((int)q[sy[idx] * n + sx[idx]]);
+      int64_t a = (v + (qs > 1 ? 1 : 0)) / 2;
+      if (a == 0) {
+        if (!trailing) total += rd->lv[0];
+      } else {
+        total += rd->lv[a > 1023 ? 1023 : a];
+        trailing = false;
+      }
+      qs = kQStateTrans[qs][a & 1];
+    }
+    return total;
+  }
+
+  // full evaluation of one component with one mode, WITHOUT writing:
+  // returns SSD, fills q (levels) and rec. Math identical to
+  // FrameCommitter::commit_comp.
+  int64_t eval_comp(int c, int x, int y, int log2, int mode, int16_t* q,
+                    int32_t* rec) const {
+    int sh = c == 0 ? 0 : 1;
+    int s = 1 << (log2 - sh);
+    int cx = x >> sh, cy = y >> sh;
+    int pw = fc.W >> sh;
+    int32_t pred[32 * 32];
+    if (c != 0 && mode >= 81) {
+      fc.pred_c_ = c;
+      fc.predict_cclm(mode, cx, cy, s, pred);
+    } else {
+      int32_t left[65], above[64];
+      fc.gather_refs(c, cx, cy, s, x, y, left, above);
+      FrameCommitter::filter_refs(left, above, s, c, mode);
+      fc.predict(c, mode, left, above, s, pred);
+    }
+    int32_t res[32 * 32], t[32 * 32];
+    const int32_t* op = fc.orig[c];
+    for (int yy = 0; yy < s; ++yy)
+      for (int xx = 0; xx < s; ++xx)
+        res[yy * s + xx] = op[(cy + yy) * pw + cx + xx] - pred[yy * s + xx];
+    fc.forward_dct2(res, s, t);
+    int ci = c == 0 ? 0 : 1;
+    int32_t ls = fc.tabs->ls_tab[ci * 4 + (log2 - sh - 2)];
+    int32_t bd = fc.tabs->bd_tab[ci * 4 + (log2 - sh - 2)];
+    if (fc.tabs->dep_quant) {
+      if (fc.tabs->trellis)
+        wrenc_trellis_quant(t, 1, log2 - sh, ls, bd, fc.tabs->lam_dq, q);
+      else
+        wrenc_greedy_quant(t, 1, log2 - sh, ls, bd, fc.tabs->lam_dq, q);
+    } else {
+      int64_t bd_off = ((int64_t)1 << bd) >> 1;
+      for (int i = 0; i < s * s; ++i) {
+        int64_t tq = ((int64_t)t[i] << bd) - bd_off;
+        int64_t v = tq >= 0 ? (tq + ls / 2) / ls : -((-tq + ls / 2) / ls);
+        q[i] = (int16_t)v;
+      }
+    }
+    int64_t bd_off = ((int64_t)1 << bd) >> 1;
+    int16_t d[32 * 32];
+    bool any = false;
+    for (int i = 0; i < s * s; ++i) {
+      int64_t v = ((int64_t)q[i] * ls + bd_off) >> bd;
+      if (v < -32768) v = -32768;
+      if (v > 32767) v = 32767;
+      d[i] = (int16_t)v;
+      any = any || q[i] != 0;
+    }
+    int64_t ssd = 0;
+    if (!any) {
+      for (int yy = 0; yy < s; ++yy)
+        for (int xx = 0; xx < s; ++xx) {
+          int v = pred[yy * s + xx];
+          rec[yy * s + xx] = v;
+          int64_t e = v - op[(cy + yy) * pw + cx + xx];
+          ssd += e * e;
+        }
+      return ssd;
+    }
+    int32_t r[32 * 32];
+    fc.inverse_dct2(d, s, r);
+    for (int yy = 0; yy < s; ++yy)
+      for (int xx = 0; xx < s; ++xx) {
+        int v = pred[yy * s + xx] + r[yy * s + xx];
+        v = v < 0 ? 0 : (v > 255 ? 255 : v);
+        rec[yy * s + xx] = v;
+        int64_t e = v - op[(cy + yy) * pw + cx + xx];
+        ssd += e * e;
+      }
+    return ssd;
+  }
+
+  void write_comp(int c, int x, int y, int log2, const int32_t* rec,
+                  const int16_t* q, int16_t* coeff_out) const {
+    int sh = c == 0 ? 0 : 1;
+    int s = 1 << (log2 - sh);
+    int cx = x >> sh, cy = y >> sh;
+    int pw = fc.W >> sh;
+    int32_t* rp = fc.plane[c];
+    for (int yy = 0; yy < s; ++yy)
+      for (int xx = 0; xx < s; ++xx)
+        rp[(cy + yy) * pw + cx + xx] = rec[yy * s + xx];
+    std::memcpy(coeff_out, q, sizeof(int16_t) * s * s);
+  }
+
+  // prediction-only SAD over cb+cr (block_splitter.rs aux chroma cost)
+  int64_t aux_chroma_sad(int x, int y, int log2, int mode) const {
+    int s = 1 << (log2 - 1);
+    int cx = x >> 1, cy = y >> 1;
+    int pw = fc.W >> 1;
+    int64_t sad = 0;
+    int32_t pred[16 * 16];
+    for (int c = 1; c <= 2; ++c) {
+      if (mode >= 81) {
+        fc.pred_c_ = c;
+        fc.predict_cclm(mode, cx, cy, s, pred);
+      } else {
+        int32_t left[65], above[64];
+        fc.gather_refs(c, cx, cy, s, x, y, left, above);
+        fc.predict(c, mode, left, above, s, pred);
+      }
+      const int32_t* op = fc.orig[c];
+      for (int yy = 0; yy < s; ++yy)
+        for (int xx = 0; xx < s; ++xx)
+          sad += std::abs(op[(cy + yy) * pw + cx + xx] - pred[yy * s + xx]);
+    }
+    return sad;
+  }
+
+  // chroma RD (cb+cr) for one mode: SSD + lam*(level + mb*16384)/16384
+  double chroma_cost(int x, int y, int log2, int mode, double mb,
+                     int16_t* qcb, int32_t* rcb, int16_t* qcr,
+                     int32_t* rcr) const {
+    int64_t ssd = eval_comp(1, x, y, log2, mode, qcb, rcb) +
+                  eval_comp(2, x, y, log2, mode, qcr, rcr);
+    int64_t level = level_rate(qcb, log2 - 1) + level_rate(qcr, log2 - 1) +
+                    (int64_t)(mb * 16384.0);
+    return (double)ssd + rd->lam * ((double)level / 16384.0);
+  }
+
+  // one CU: re-decide modes on true reconstruction, write winner
+  void commit_cu(int x, int y, int log2, int tree, const int32_t* cands,
+                 int n_cand, int16_t* coeff_y, int16_t* coeff_cb,
+                 int16_t* coeff_cr, int32_t* modes_out) {
+    int size = 1 << log2;
+    int luma_mode = 0;
+    int16_t best_qy[32 * 32];
+    int32_t best_ry[32 * 32];
+    if (tree != 2) {
+      int cand5[5];
+      mpm_list(x, y, size, cand5);
+      double best = 0;
+      bool first = true;
+      int16_t qy[32 * 32];
+      int32_t ry[32 * 32];
+      int16_t qc[16 * 16];
+      int32_t rc[16 * 16];
+      for (int k = 0; k < n_cand; ++k) {
+        int m = cands[k];
+        if (m < 0) continue;
+        bool dup = false;
+        for (int j = 0; j < k; ++j) dup = dup || cands[j] == m;
+        if (dup) continue;
+        int64_t ssd = eval_comp(0, x, y, log2, m, qy, ry);
+        int64_t level = level_rate(qy, log2);
+        if (tree == 0) {
+          // single-tree leaf: the luma choice includes the derived-mode
+          // chroma contribution (block_splitter.rs get_intra_pred_cost
+          // covers all three components)
+          ssd += eval_comp(1, x, y, log2, m, qc, rc);
+          level += level_rate(qc, log2 - 1);
+          ssd += eval_comp(2, x, y, log2, m, qc, rc);
+          level += level_rate(qc, log2 - 1);
+        }
+        double mb = luma_mode_bits(m, cand5);
+        level += (int64_t)(mb * 16384.0);
+        double cost = (double)ssd + rd->lam * ((double)level / 16384.0);
+        if (first || cost < best) {
+          first = false;
+          best = cost;
+          luma_mode = m;
+          std::memcpy(best_qy, qy, sizeof(int16_t) * size * size);
+          std::memcpy(best_ry, ry, sizeof(int32_t) * size * size);
+        }
+      }
+      write_comp(0, x, y, log2, best_ry, best_qy, coeff_y);
+      set_mode_map(x, y, size, luma_mode);
+      modes_out[0] = luma_mode;
+    } else {
+      modes_out[0] = 0;
+    }
+    if (tree == 1) {
+      modes_out[1] = 0;
+      return;
+    }
+    // chroma: derived vs best-of-3 CCLM (aux SAD pick, then full RD;
+    // derived wins ties — block_splitter.rs:1039-1076)
+    int derived;
+    if (tree == 2) {
+      int cxc = x + size / 2, cyc = y + size / 2;
+      derived = mode_map[(cyc >> 2) * n4w() + (cxc >> 2)];
+    } else {
+      derived = luma_mode;
+    }
+    int16_t qcb[16 * 16], qcr[16 * 16];
+    int32_t rcb[16 * 16], rcr[16 * 16];
+    double mbd = rd->cclm_enabled ? rd->non_cclm_offset : 0.0;
+    double cost_d =
+        chroma_cost(x, y, log2, derived, mbd, qcb, rcb, qcr, rcr);
+    int chroma_mode = derived;
+    if (rd->cclm_enabled) {
+      int64_t best_sad = 0;
+      int cclm = 81;
+      for (int m = 81; m <= 83; ++m) {
+        int64_t sad = aux_chroma_sad(x, y, log2, m);
+        if (m == 81 || sad < best_sad) { best_sad = sad; cclm = m; }
+      }
+      double mbc = rd->cclm_offset +
+                   std::pow(cclm - 81 + rd->cclm_mode_idx_offset,
+                            rd->cclm_pow);
+      int16_t qcb2[16 * 16], qcr2[16 * 16];
+      int32_t rcb2[16 * 16], rcr2[16 * 16];
+      double cost_c =
+          chroma_cost(x, y, log2, cclm, mbc, qcb2, rcb2, qcr2, rcr2);
+      if (cost_c < cost_d) {
+        chroma_mode = cclm;
+        std::memcpy(qcb, qcb2, sizeof(qcb));
+        std::memcpy(qcr, qcr2, sizeof(qcr));
+        std::memcpy(rcb, rcb2, sizeof(rcb));
+        std::memcpy(rcr, rcr2, sizeof(rcr));
+      }
+    }
+    write_comp(1, x, y, log2, rcb, qcb, coeff_cb);
+    write_comp(2, x, y, log2, rcr, qcr, coeff_cr);
+    modes_out[1] = chroma_mode;
+  }
+};
+
+}  // namespace
+
+// Commit with mode re-decision. Same layout as wrenc_commit_frames plus:
+// cands (n_cand int32 per CU, -1 padded; stage-A luma candidates),
+// rd_consts (12 doubles: lam, planar_offset, non_planar_offset,
+// mpm_idx_offset, mpm_idx_pow, mpm_remainder_mult, mpm_remainder_offset,
+// mpm_remainder_pow, cclm_offset, cclm_mode_idx_offset, cclm_pow,
+// non_cclm_offset), lv (1024 int64 trellis level-rate table),
+// modes_out (2 int32 per CU: final luma/chroma mode).
+extern "C" void wrenc_commit_frames_rd(
+    int W, int H, int log2_ctu, int n_frames, int n_threads,
+    const int32_t* orig_y, const int32_t* orig_cb, const int32_t* orig_cr,
+    int32_t* rec_y, int32_t* rec_cb, int32_t* rec_cr,
+    const int32_t* cu_meta, const int64_t* frame_off,
+    const int64_t* coeff_off, int16_t* coeffs_out,
+    const int32_t* ls_tab, const int32_t* bd_tab, const int32_t* lam_dq,
+    int dep_quant, int trellis, int cclm_enabled,
+    const int32_t* cands, int n_cand, const double* rd_consts,
+    const int64_t* lv, int32_t* modes_out,
+    const int32_t* dct4, const int32_t* dct8, const int32_t* dct16,
+    const int32_t* dct32, const int32_t* angle_tab, const int32_t* fc,
+    const int32_t* fg, const int32_t* pdpc_w, const int32_t* cclm_div) {
+  CommitTabs tabs;
+  tabs.dct[0] = dct4; tabs.dct[1] = dct8; tabs.dct[2] = dct16;
+  tabs.dct[3] = dct32;
+  tabs.angle = angle_tab; tabs.fc = fc; tabs.fg = fg; tabs.pdpc_w = pdpc_w;
+  tabs.cclm_div = cclm_div; tabs.ls_tab = ls_tab; tabs.bd_tab = bd_tab;
+  tabs.lam_dq = lam_dq; tabs.dep_quant = dep_quant; tabs.trellis = trellis;
+
+  RdConsts rc;
+  rc.lv = lv;
+  rc.lam = rd_consts[0];
+  rc.planar_offset = rd_consts[1];
+  rc.non_planar_offset = rd_consts[2];
+  rc.mpm_idx_offset = rd_consts[3];
+  rc.mpm_idx_pow = rd_consts[4];
+  rc.mpm_remainder_mult = rd_consts[5];
+  rc.mpm_remainder_offset = rd_consts[6];
+  rc.mpm_remainder_pow = rd_consts[7];
+  rc.cclm_offset = rd_consts[8];
+  rc.cclm_mode_idx_offset = rd_consts[9];
+  rc.cclm_pow = rd_consts[10];
+  rc.non_cclm_offset = rd_consts[11];
+  rc.cclm_enabled = cclm_enabled;
+  rc.dep_quant = dep_quant;
+
+  int ysz = W * H, csz = (W / 2) * (H / 2);
+  auto run_frame = [&](int f) {
+    RdCommitter rdc;
+    rdc.fc.W = W; rdc.fc.H = H; rdc.fc.log2_ctu = log2_ctu;
+    rdc.fc.tabs = &tabs;
+    rdc.rd = &rc;
+    rdc.fc.orig[0] = orig_y + (int64_t)f * ysz;
+    rdc.fc.orig[1] = orig_cb + (int64_t)f * csz;
+    rdc.fc.orig[2] = orig_cr + (int64_t)f * csz;
+    rdc.fc.plane[0] = rec_y + (int64_t)f * ysz;
+    rdc.fc.plane[1] = rec_cb + (int64_t)f * csz;
+    rdc.fc.plane[2] = rec_cr + (int64_t)f * csz;
+    rdc.mode_map.assign((W >> 2) * (H >> 2), 0);
+    rdc.mode_set.assign((W >> 2) * (H >> 2), 0);
+    for (int64_t i = frame_off[f]; i < frame_off[f + 1]; ++i) {
+      const int32_t* m = cu_meta + i * 6;
+      int16_t* cy = coeff_off[i * 3] >= 0 ? coeffs_out + coeff_off[i * 3]
+                                          : nullptr;
+      int16_t* ccb = coeff_off[i * 3 + 1] >= 0
+                         ? coeffs_out + coeff_off[i * 3 + 1] : nullptr;
+      int16_t* ccr = coeff_off[i * 3 + 2] >= 0
+                         ? coeffs_out + coeff_off[i * 3 + 2] : nullptr;
+      rdc.commit_cu(m[0], m[1], m[2], m[3], cands + i * n_cand, n_cand,
+                    cy, ccb, ccr, modes_out + i * 2);
     }
   };
   if (n_threads <= 1 || n_frames <= 1) {

@@ -18,6 +18,8 @@ class CuDecision:
     # stored quantized levels per component (the dequantizer's q form);
     # None for inactive components
     coeffs: list = field(default_factory=lambda: [None, None, None])
+    # stage-A luma candidate modes for commit-time re-decision (optional)
+    cands: list = None
 
 
 @dataclass

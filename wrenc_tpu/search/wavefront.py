@@ -34,7 +34,7 @@ import functools
 class WavefrontSearch:
     NUM_RD_CANDS = 4  # angular full-RD candidates on top of PLANAR/DC
 
-    def __init__(self, cfg, trellis_commit=True, mesh=None):
+    def __init__(self, cfg, trellis_commit=True, mesh=None, rd_commit=True):
         """mesh: optional jax.sharding.Mesh with a 'frame' axis — the frame
         batch of stage A is sharded across it (all-intra frames are
         independent, so this is pure data parallelism; SURVEY.md §2.3).
@@ -44,6 +44,10 @@ class WavefrontSearch:
         self.mesh = mesh
         self.rm = cfg.rate_model
         self.trellis_commit = trellis_commit
+        # re-decide modes at commit time on the true reconstruction
+        # (the reference's decision discipline, block_splitter.rs:110);
+        # stage A then only has to get the candidate list right
+        self.rd_commit = rd_commit
         qp = cfg.qp
         self.qp_c = quant.chroma_qp_from_luma(qp)
         self.qpar = {}
@@ -101,6 +105,7 @@ class WavefrontSearch:
                  for d in range(cfg.max_split_depth, -1, -1)]
         luma_mode_b = {}
         luma_cost_b = {}
+        luma_cands_b = {}
         planes_y = np.stack([b[0] for b in self.batch])
         pad = 0
         if self.mesh is not None:
@@ -119,13 +124,15 @@ class WavefrontSearch:
         res = fused(dev)
         for s in sizes:
             cands, base = res[s]
-            luma_mode_b[s], luma_cost_b[s] = self._select_modes(
-                s, np.asarray(cands)[:F], np.asarray(base)[:F])
+            luma_mode_b[s], luma_cost_b[s], luma_cands_b[s] = \
+                self._select_modes(s, np.asarray(cands)[:F],
+                                   np.asarray(base)[:F])
         chroma_cache = {}
         self._prefill_chroma_cache(chroma_cache, luma_mode_b, sizes, F)
         all_trees = []
         for fi in range(F):
             self.orig = self.batch[fi]
+            self.luma_cands = {s: luma_cands_b[s][fi] for s in sizes}
             trees = self._decide_and_commit(
                 {s: luma_mode_b[s][fi] for s in sizes},
                 {s: luma_cost_b[s][fi] for s in sizes},
@@ -152,6 +159,15 @@ class WavefrontSearch:
             lam_dq = (self.lam_dq_trellis if self.trellis_commit
                       else self.lam_dq_greedy)
             cu_lists = [self._collect_cus(trees) for trees in all_trees]
+            if self.rd_commit and native.rd_commit_supported():
+                rm, dep = self.rm, self.cfg.dep_quant_enabled
+                i = np.arange(1024, dtype=np.float64)
+                lv64 = ((i + rm.pick('lv_offset', dep, True))
+                        ** rm.pick('lv_pow', dep, True)
+                        * 16384.0).astype(np.int64)
+                return native.commit_frames_rd_native(
+                    self.cfg, self.batch, cu_lists, ls_tab, bd_tab, lam_dq,
+                    self.trellis_commit, lv64)
             return native.commit_frames_native(
                 self.cfg, self.batch, cu_lists, ls_tab, bd_tab, lam_dq,
                 self.trellis_commit)
@@ -288,7 +304,10 @@ class WavefrontSearch:
                 best = np.argmin(total, axis=2)
                 mode = np.take_along_axis(cands, best[..., None], 2)[..., 0]
         cost = np.take_along_axis(total, best[..., None], 2)[..., 0]
-        return mode.astype(np.int64), cost
+        # candidate list for commit-time re-decision, ranked by stage-A cost
+        order = np.argsort(total, axis=2)
+        ranked = np.take_along_axis(cands, order, axis=2)
+        return mode.astype(np.int64), cost, ranked.astype(np.int32)
 
     def _prefill_chroma_cache(self, cache, luma_mode_b, sizes, F):
         """Compute all chroma stage-A costs in one native host call
@@ -475,6 +494,8 @@ class WavefrontSearch:
                     cmode = cc
             node.cu = CuDecision(x, y, log2, tree, luma_mode=m,
                                  chroma_mode=(cmode if tree == 'S' else 0))
+            if self.rd_commit:
+                node.cu.cands = [int(c) for c in self.luma_cands[s][idx]]
         return node
 
     # ------------------------------------------------------------- commit
