@@ -27,6 +27,10 @@ class RateModelConfig:
     # (this framework's own knob — not in the reference; ~2x measures best
     # with the reference-tuned constants, see search/wavefront.py)
     stage_a_mode_bits_scale: float = 2.0
+    # commit-time QT split refinement: stage-A split decisions whose
+    # relative cost margin is below this are re-decided on the true
+    # reconstruction (0 disables; framework knob, not in the reference)
+    split_refine_margin: float = 0.5
     # mode-bits model
     non_planar_offset: float = 2.4951231
     non_planar_offset_dq: float = 2.6002965

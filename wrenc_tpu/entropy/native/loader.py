@@ -40,7 +40,7 @@ def _get():
             lib.wrenc_greedy_quant.restype = None
             lib.wrenc_encode_slice.restype = ctypes.c_int64
             lib.wrenc_commit_frames.restype = None
-            lib.wrenc_commit_frames_rd.restype = None
+            lib.wrenc_commit_frames_tree.restype = None
             lib.wrenc_chroma_stage_a.restype = None
             _lib = lib
         except Exception:
@@ -274,20 +274,40 @@ def commit_frames_native(cfg, origs, cu_lists, ls_tab, bd_tab, lam_dq,
     return [(ry[f], rcb[f], rcr[f]) for f in range(F)]
 
 
-def rd_commit_supported():
+def tree_commit_supported():
     return available()
 
 
-def commit_frames_rd_native(cfg, origs, cu_lists, ls_tab, bd_tab, lam_dq,
-                            trellis, lv_trellis, n_threads=0):
-    """Native commit with mode re-decision on true reconstruction.
+def _rd_consts(cfg, with_headers=False):
+    rm, dep = cfg.rate_model, cfg.dep_quant_enabled
+    vals = [
+        2.0 ** (cfg.qp / rm.pick('qp_div', dep, True))
+        * rm.pick('lambda_mul', dep, True),
+        rm.pick('planar_offset', dep, True),
+        rm.pick('non_planar_offset', dep, True),
+        rm.pick('mpm_idx_offset', dep, True), rm.mpm_idx_pow,
+        rm.pick('mpm_remainder_mult', dep, True),
+        rm.pick('mpm_remainder_offset', dep, True), rm.mpm_remainder_pow,
+        rm.pick('cclm_offset', dep, True),
+        rm.pick('cclm_mode_idx_offset', dep, True), rm.cclm_pow,
+        rm.pick('non_cclm_offset', dep, True),
+    ]
+    if with_headers:
+        vals += [rm.pick('header_bits', dep, True),
+                 rm.pick('chroma_header_bits', dep, True)]
+    return np.array(vals, dtype=np.float64)
 
-    Like commit_frames_native, but each CU's luma mode is re-chosen among
-    its stage-A candidates (cu.cands) by full trellis RD against the
-    rolling reconstruction, and the chroma CCLM-vs-derived decision is
-    re-made the same way (the reference's decision discipline,
-    block_splitter.rs:110,1039-1076). Updates cu.luma_mode/chroma_mode and
-    cu.coeffs in place; returns recon planes per frame.
+
+def commit_frames_tree_native(cfg, origs, all_trees, ls_tab, bd_tab, lam_dq,
+                              trellis, lv_trellis, n_threads=0):
+    """Native commit with mode re-decision AND QT split refinement.
+
+    all_trees: per-frame CtNode tree lists. Nodes with `refine=True` carry
+    an `alt_cu` merged-leaf alternative; the committer evaluates both the
+    leaf and the split subtree on the true reconstruction and keeps the
+    cheaper (the reference's snapshot/rollback discipline,
+    block_splitter.rs:1079-1152). Trees are updated in place to the chosen
+    structure; cu modes/coeffs are filled in. Returns recon planes.
     """
     import os
     from ...core import tables
@@ -301,54 +321,79 @@ def commit_frames_rd_native(cfg, origs, cu_lists, ls_tab, bd_tab, lam_dq,
     rcb = np.zeros_like(ocb)
     rcr = np.zeros_like(ocr)
 
-    n_cand = 1
-    for cus in cu_lists:
-        for cu in cus:
-            c = getattr(cu, 'cands', None)
-            if c is not None:
-                n_cand = max(n_cand, len(c))
-
+    # serialize: pre-order node stream per frame + flat CU list
+    nodes = []
+    node_off = [0]
+    dec_count = [0]
+    cu_objs = []
     meta = []
+    n_cand = 1
+    for trees in all_trees:
+        def scan_k(n):
+            nonlocal n_cand
+            if n.cu is not None and getattr(n.cu, 'cands', None):
+                n_cand = max(n_cand, len(n.cu.cands))
+            ac = getattr(n, 'alt_cu', None)
+            if ac is not None and getattr(ac, 'cands', None):
+                n_cand = max(n_cand, len(ac.cands))
+            for ch in n.children:
+                scan_k(ch)
+        for t in trees:
+            scan_k(t)
     cands = []
-    frame_off = [0]
+
+    def add_cu(cu):
+        idx = len(cu_objs)
+        cu_objs.append(cu)
+        meta.extend([cu.x, cu.y, cu.log2, _TREE_ID[cu.tree],
+                     cu.luma_mode, cu.chroma_mode])
+        cl = list(getattr(cu, 'cands', None) or [cu.luma_mode])
+        cands.extend(cl + [-1] * (n_cand - len(cl)))
+        return idx
+
+    ndec = 0
+    for trees in all_trees:
+        def walk(n):
+            nonlocal ndec
+            if getattr(n, 'refine', False):
+                nodes.append(-2)
+                nodes.append(add_cu(n.alt_cu))
+                ndec += 1
+                for ch in n.children:
+                    walk(ch)
+            elif n.split:
+                nodes.append(-1)
+                for ch in n.children:
+                    walk(ch)
+            else:
+                nodes.append(add_cu(n.cu))
+        for t in trees:
+            walk(t)
+        node_off.append(len(nodes))
+        dec_count.append(ndec)
+
     coeff_off = []
     total = 0
-    for cus in cu_lists:
-        for cu in cus:
-            meta.extend([cu.x, cu.y, cu.log2, _TREE_ID[cu.tree],
-                         cu.luma_mode, cu.chroma_mode])
-            cl = list(getattr(cu, 'cands', None) or [cu.luma_mode])
-            cands.extend(cl + [-1] * (n_cand - len(cl)))
-            for c in range(3):
-                has = (c == 0 and cu.tree != 'C') or (c > 0 and cu.tree != 'L')
-                if has:
-                    sz = (1 << (cu.log2 - (0 if c == 0 else 1))) ** 2
-                    coeff_off.append(total)
-                    total += sz
-                else:
-                    coeff_off.append(-1)
-        frame_off.append(frame_off[-1] + len(cus))
-    n_cus = frame_off[-1]
+    for cu in cu_objs:
+        for c in range(3):
+            has = (c == 0 and cu.tree != 'C') or (c > 0 and cu.tree != 'L')
+            if has:
+                sz = (1 << (cu.log2 - (0 if c == 0 else 1))) ** 2
+                coeff_off.append(total)
+                total += sz
+            else:
+                coeff_off.append(-1)
+
+    nodes = np.array(nodes, dtype=np.int32)
+    node_off = np.array(node_off, dtype=np.int64)
+    dec_off = np.array(dec_count, dtype=np.int64)
     meta = np.array(meta, dtype=np.int32)
     cands = np.array(cands, dtype=np.int32)
-    frame_off = np.array(frame_off, dtype=np.int64)
     coeff_off = np.array(coeff_off, dtype=np.int64)
     coeffs = np.zeros(max(total, 1), dtype=np.int16)
-    modes_out = np.zeros(n_cus * 2, dtype=np.int32)
-
-    rm, dep = cfg.rate_model, cfg.dep_quant_enabled
-    rd_consts = np.array([
-        2.0 ** (cfg.qp / rm.pick('qp_div', dep, True))
-        * rm.pick('lambda_mul', dep, True),
-        rm.pick('planar_offset', dep, True),
-        rm.pick('non_planar_offset', dep, True),
-        rm.pick('mpm_idx_offset', dep, True), rm.mpm_idx_pow,
-        rm.pick('mpm_remainder_mult', dep, True),
-        rm.pick('mpm_remainder_offset', dep, True), rm.mpm_remainder_pow,
-        rm.pick('cclm_offset', dep, True),
-        rm.pick('cclm_mode_idx_offset', dep, True), rm.cclm_pow,
-        rm.pick('non_cclm_offset', dep, True),
-    ], dtype=np.float64)
+    modes_out = np.zeros(max(len(cu_objs), 1) * 2, dtype=np.int32)
+    decisions = np.zeros(max(ndec, 1), dtype=np.int8)
+    rd_consts = _rd_consts(cfg, with_headers=True)
     lv = np.ascontiguousarray(lv_trellis, dtype=np.int64)
 
     def c32(a):
@@ -361,12 +406,13 @@ def commit_frames_rd_native(cfg, origs, cu_lists, ls_tab, bd_tab, lam_dq,
     if n_threads <= 0:
         n_threads = min(F, os.cpu_count() or 1)
 
-    lib.wrenc_commit_frames_rd(
+    lib.wrenc_commit_frames_tree(
         ctypes.c_int(W), ctypes.c_int(H), ctypes.c_int(cfg.log2_ctu_size),
         ctypes.c_int(F), ctypes.c_int(n_threads),
         _i32p(oy), _i32p(ocb), _i32p(ocr),
         _i32p(ry), _i32p(rcb), _i32p(rcr),
-        _i32p(meta), _i64p(frame_off), _i64p(coeff_off),
+        _i32p(nodes), _i64p(node_off),
+        _i32p(meta), _i64p(coeff_off),
         coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         _i32p(ls_tab), _i32p(bd_tab), _i32p(lam),
         ctypes.c_int(1 if cfg.dep_quant_enabled else 0),
@@ -376,27 +422,46 @@ def commit_frames_rd_native(cfg, origs, cu_lists, ls_tab, bd_tab, lam_dq,
         rd_consts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         _i64p(lv),
         _i32p(modes_out),
+        decisions.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        _i64p(dec_off),
         _i32p(dcts[0]), _i32p(dcts[1]), _i32p(dcts[2]), _i32p(dcts[3]),
         _i32p(c32(tables.INTRA_ANGLE_TABLE)), _i32p(c32(tables.F_C)),
         _i32p(c32(tables.F_G)), _i32p(c32(tables.PDPC_WEIGHTS)),
         _i32p(c32(tables.CCLM_DIV_SIG_TABLE)))
 
-    k = 0
-    i = 0
-    for cus in cu_lists:
-        for cu in cus:
-            if cu.tree != 'C':
-                cu.luma_mode = int(modes_out[i * 2])
-            if cu.tree != 'L':
-                cu.chroma_mode = int(modes_out[i * 2 + 1])
-            i += 1
-            for c in range(3):
-                off = coeff_off[k]
-                k += 1
-                if off < 0:
-                    continue
-                s = 1 << (cu.log2 - (0 if c == 0 else 1))
-                cu.coeffs[c] = coeffs[off:off + s * s].reshape(s, s).copy()
+    # modes + coeffs back into every CU object (winners referenced by trees)
+    for i, cu in enumerate(cu_objs):
+        if cu.tree != 'C':
+            cu.luma_mode = int(modes_out[i * 2])
+        if cu.tree != 'L':
+            cu.chroma_mode = int(modes_out[i * 2 + 1])
+        for c in range(3):
+            off = coeff_off[i * 3 + c]
+            if off < 0:
+                continue
+            s = 1 << (cu.log2 - (0 if c == 0 else 1))
+            cu.coeffs[c] = coeffs[off:off + s * s].reshape(s, s).copy()
+
+    # apply refine decisions (same pre-order walk)
+    it = iter(decisions)
+
+    def apply(n):
+        if getattr(n, 'refine', False):
+            d = int(next(it))
+            for ch in n.children:
+                apply(ch)
+            if d == 0:
+                n.split = False
+                n.cu = n.alt_cu
+                n.children = []
+            n.refine = False
+            n.alt_cu = None
+        elif n.split:
+            for ch in n.children:
+                apply(ch)
+    for trees in all_trees:
+        for t in trees:
+            apply(t)
     return [(ry[f], rcb[f], rcr[f]) for f in range(F)]
 
 

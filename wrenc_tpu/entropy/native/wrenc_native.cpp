@@ -1516,6 +1516,7 @@ struct RdConsts {
   double mpm_remainder_mult, mpm_remainder_offset, mpm_remainder_pow;
   double cclm_offset, cclm_mode_idx_offset, cclm_pow, non_cclm_offset;
   int cclm_enabled, dep_quant;
+  double hb, chb;  // header_bits / chroma_header_bits (trellis variants)
 };
 
 struct RdCommitter {
@@ -1744,12 +1745,16 @@ struct RdCommitter {
     return (double)ssd + rd->lam * ((double)level / 16384.0);
   }
 
-  // one CU: re-decide modes on true reconstruction, write winner
-  void commit_cu(int x, int y, int log2, int tree, const int32_t* cands,
+  // one CU: re-decide modes on true reconstruction, write winner.
+  // Returns the CU's RD cost (ssd + lam*(level + mode_bits*16384)/16384
+  // over its active components, WITHOUT the per-CU header constant —
+  // the tree walk adds lam*hb / lam*hb/3 / lam*chb by tree type).
+  double commit_cu(int x, int y, int log2, int tree, const int32_t* cands,
                  int n_cand, int16_t* coeff_y, int16_t* coeff_cb,
                  int16_t* coeff_cr, int32_t* modes_out) {
     int size = 1 << log2;
     int luma_mode = 0;
+    double luma_cost = 0.0;
     int16_t best_qy[32 * 32];
     int32_t best_ry[32 * 32];
     if (tree != 2) {
@@ -1767,24 +1772,27 @@ struct RdCommitter {
         bool dup = false;
         for (int j = 0; j < k; ++j) dup = dup || cands[j] == m;
         if (dup) continue;
-        int64_t ssd = eval_comp(0, x, y, log2, m, qy, ry);
-        int64_t level = level_rate(qy, log2);
+        int64_t ssd_y = eval_comp(0, x, y, log2, m, qy, ry);
+        double mb = luma_mode_bits(m, cand5);
+        int64_t level_y = level_rate(qy, log2) + (int64_t)(mb * 16384.0);
+        double cost_y =
+            (double)ssd_y + rd->lam * ((double)level_y / 16384.0);
+        double cost = cost_y;
         if (tree == 0) {
           // single-tree leaf: the luma choice includes the derived-mode
           // chroma contribution (block_splitter.rs get_intra_pred_cost
           // covers all three components)
-          ssd += eval_comp(1, x, y, log2, m, qc, rc);
-          level += level_rate(qc, log2 - 1);
-          ssd += eval_comp(2, x, y, log2, m, qc, rc);
-          level += level_rate(qc, log2 - 1);
+          int64_t ssd_c = eval_comp(1, x, y, log2, m, qc, rc);
+          int64_t level_c = level_rate(qc, log2 - 1);
+          ssd_c += eval_comp(2, x, y, log2, m, qc, rc);
+          level_c += level_rate(qc, log2 - 1);
+          cost += (double)ssd_c + rd->lam * ((double)level_c / 16384.0);
         }
-        double mb = luma_mode_bits(m, cand5);
-        level += (int64_t)(mb * 16384.0);
-        double cost = (double)ssd + rd->lam * ((double)level / 16384.0);
         if (first || cost < best) {
           first = false;
           best = cost;
           luma_mode = m;
+          luma_cost = cost_y;
           std::memcpy(best_qy, qy, sizeof(int16_t) * size * size);
           std::memcpy(best_ry, ry, sizeof(int32_t) * size * size);
         }
@@ -1797,7 +1805,7 @@ struct RdCommitter {
     }
     if (tree == 1) {
       modes_out[1] = 0;
-      return;
+      return luma_cost;
     }
     // chroma: derived vs best-of-3 CCLM (aux SAD pick, then full RD;
     // derived wins ties — block_splitter.rs:1039-1076)
@@ -1830,6 +1838,7 @@ struct RdCommitter {
           chroma_cost(x, y, log2, cclm, mbc, qcb2, rcb2, qcr2, rcr2);
       if (cost_c < cost_d) {
         chroma_mode = cclm;
+        cost_d = cost_c;
         std::memcpy(qcb, qcb2, sizeof(qcb));
         std::memcpy(qcr, qcr2, sizeof(qcr));
         std::memcpy(rcb, rcb2, sizeof(rcb));
@@ -1839,28 +1848,153 @@ struct RdCommitter {
     write_comp(1, x, y, log2, rcb, qcb, coeff_cb);
     write_comp(2, x, y, log2, rcr, qcr, coeff_cr);
     modes_out[1] = chroma_mode;
+    return luma_cost + cost_d;
+  }
+
+  // ---- QT split refinement (snapshot/rollback like block_splitter.rs
+  // :1085-1152): at nodes stage A flagged as ambiguous, both the merged
+  // leaf and the split subtree are committed against the true
+  // reconstruction and the cheaper one kept.
+  struct RegionSnap {
+    std::vector<int32_t> y, cb, cr, mm;
+    std::vector<uint8_t> ms;
+  };
+
+  void snap_region(int x, int y, int s, RegionSnap& r) const {
+    int cw = fc.W >> 1;
+    r.y.resize(s * s);
+    r.cb.resize((s / 2) * (s / 2));
+    r.cr.resize((s / 2) * (s / 2));
+    for (int yy = 0; yy < s; ++yy)
+      std::memcpy(&r.y[yy * s], fc.plane[0] + (y + yy) * fc.W + x,
+                  sizeof(int32_t) * s);
+    for (int yy = 0; yy < s / 2; ++yy) {
+      std::memcpy(&r.cb[yy * (s / 2)],
+                  fc.plane[1] + (y / 2 + yy) * cw + x / 2,
+                  sizeof(int32_t) * (s / 2));
+      std::memcpy(&r.cr[yy * (s / 2)],
+                  fc.plane[2] + (y / 2 + yy) * cw + x / 2,
+                  sizeof(int32_t) * (s / 2));
+    }
+    int n4 = s >> 2, x4 = x >> 2, y4 = y >> 2;
+    r.mm.resize(n4 * n4);
+    r.ms.resize(n4 * n4);
+    for (int yy = 0; yy < n4; ++yy)
+      for (int xx = 0; xx < n4; ++xx) {
+        r.mm[yy * n4 + xx] = mode_map[(y4 + yy) * n4w() + x4 + xx];
+        r.ms[yy * n4 + xx] = mode_set[(y4 + yy) * n4w() + x4 + xx];
+      }
+  }
+
+  void restore_region(int x, int y, int s, const RegionSnap& r) {
+    int cw = fc.W >> 1;
+    for (int yy = 0; yy < s; ++yy)
+      std::memcpy(fc.plane[0] + (y + yy) * fc.W + x, &r.y[yy * s],
+                  sizeof(int32_t) * s);
+    for (int yy = 0; yy < s / 2; ++yy) {
+      std::memcpy(fc.plane[1] + (y / 2 + yy) * cw + x / 2,
+                  &r.cb[yy * (s / 2)], sizeof(int32_t) * (s / 2));
+      std::memcpy(fc.plane[2] + (y / 2 + yy) * cw + x / 2,
+                  &r.cr[yy * (s / 2)], sizeof(int32_t) * (s / 2));
+    }
+    int n4 = s >> 2, x4 = x >> 2, y4 = y >> 2;
+    for (int yy = 0; yy < n4; ++yy)
+      for (int xx = 0; xx < n4; ++xx) {
+        mode_map[(y4 + yy) * n4w() + x4 + xx] = r.mm[yy * n4 + xx];
+        mode_set[(y4 + yy) * n4w() + x4 + xx] = r.ms[yy * n4 + xx];
+      }
+  }
+
+  // tree walk state
+  struct TreeCtx {
+    const int32_t* nodes;
+    int64_t pos = 0;
+    const int32_t* cu_meta;
+    const int32_t* cands;
+    int n_cand;
+    const int64_t* coeff_off;
+    int16_t* coeffs;
+    int32_t* modes_out;
+    int8_t* decisions;
+    int64_t dpos = 0;
+  };
+
+  double commit_cu_idx(TreeCtx& t, int idx) {
+    const int32_t* m = t.cu_meta + (int64_t)idx * 6;
+    const int64_t* co = t.coeff_off + (int64_t)idx * 3;
+    return commit_cu(m[0], m[1], m[2], m[3], t.cands + (int64_t)idx * t.n_cand,
+                     t.n_cand,
+                     co[0] >= 0 ? t.coeffs + co[0] : nullptr,
+                     co[1] >= 0 ? t.coeffs + co[1] : nullptr,
+                     co[2] >= 0 ? t.coeffs + co[2] : nullptr,
+                     t.modes_out + (int64_t)idx * 2);
+  }
+
+  double header_cost(int tree) const {
+    if (tree == 0) return rd->lam * rd->hb;
+    if (tree == 1) return rd->lam * rd->hb / 3.0;
+    return rd->lam * rd->chb;
+  }
+
+  double commit_children(TreeCtx& t, int x, int y, int log2, int tree) {
+    int half = 1 << (log2 - 1);
+    bool scipu = (tree == 0 && log2 == 3);
+    double cost = 0.0;
+    for (int i = 0; i < 4; ++i)
+      cost += commit_tree(t, x + (i % 2) * half, y + (i / 2) * half,
+                          log2 - 1, scipu ? 1 : tree);
+    if (scipu) cost += commit_tree(t, x, y, log2, 2);
+    return cost;
+  }
+
+  // node stream: tag >= 0 leaf CU index; -1 split; -2 refine node
+  // followed by the merged-leaf CU index, then the children subtree.
+  double commit_tree(TreeCtx& t, int x, int y, int log2, int tree) {
+    int tag = t.nodes[t.pos++];
+    if (tag >= 0) return commit_cu_idx(t, tag) + header_cost(tree);
+    if (tag == -1) return commit_children(t, x, y, log2, tree);
+    // refine: evaluate merged leaf first (the reference evaluates
+    // no-split first; no-split wins ties, block_splitter.rs:1125)
+    int leaf_idx = t.nodes[t.pos++];
+    int64_t my_d = t.dpos++;
+    int s = 1 << log2;
+    RegionSnap pre, after_leaf;
+    snap_region(x, y, s, pre);
+    double cost_leaf = commit_cu_idx(t, leaf_idx) + header_cost(tree);
+    snap_region(x, y, s, after_leaf);
+    restore_region(x, y, s, pre);
+    double cost_split = commit_children(t, x, y, log2, tree);
+    if (cost_split > cost_leaf) {
+      restore_region(x, y, s, after_leaf);
+      t.decisions[my_d] = 0;
+      return cost_leaf;
+    }
+    t.decisions[my_d] = 1;
+    return cost_split;
   }
 };
 
 }  // namespace
 
-// Commit with mode re-decision. Same layout as wrenc_commit_frames plus:
-// cands (n_cand int32 per CU, -1 padded; stage-A luma candidates),
-// rd_consts (12 doubles: lam, planar_offset, non_planar_offset,
-// mpm_idx_offset, mpm_idx_pow, mpm_remainder_mult, mpm_remainder_offset,
-// mpm_remainder_pow, cclm_offset, cclm_mode_idx_offset, cclm_pow,
-// non_cclm_offset), lv (1024 int64 trellis level-rate table),
-// modes_out (2 int32 per CU: final luma/chroma mode).
-extern "C" void wrenc_commit_frames_rd(
+// Commit with mode re-decision AND QT split refinement. The per-frame
+// decision tree arrives as a pre-order node stream (tag >= 0: leaf CU
+// index; -1: split; -2: refine node, followed by the merged-leaf CU index
+// and then the children subtree). decisions_out receives one byte per
+// refine node in pre-order (0 = merged leaf kept, 1 = split kept).
+// rd_consts has 14 doubles (the 12 of wrenc_commit_frames_rd plus
+// header_bits and chroma_header_bits).
+extern "C" void wrenc_commit_frames_tree(
     int W, int H, int log2_ctu, int n_frames, int n_threads,
     const int32_t* orig_y, const int32_t* orig_cb, const int32_t* orig_cr,
     int32_t* rec_y, int32_t* rec_cb, int32_t* rec_cr,
-    const int32_t* cu_meta, const int64_t* frame_off,
+    const int32_t* nodes, const int64_t* node_off,
+    const int32_t* cu_meta,
     const int64_t* coeff_off, int16_t* coeffs_out,
     const int32_t* ls_tab, const int32_t* bd_tab, const int32_t* lam_dq,
     int dep_quant, int trellis, int cclm_enabled,
     const int32_t* cands, int n_cand, const double* rd_consts,
     const int64_t* lv, int32_t* modes_out,
+    int8_t* decisions_out, const int64_t* dec_off,
     const int32_t* dct4, const int32_t* dct8, const int32_t* dct16,
     const int32_t* dct32, const int32_t* angle_tab, const int32_t* fc,
     const int32_t* fg, const int32_t* pdpc_w, const int32_t* cclm_div) {
@@ -1885,10 +2019,14 @@ extern "C" void wrenc_commit_frames_rd(
   rc.cclm_mode_idx_offset = rd_consts[9];
   rc.cclm_pow = rd_consts[10];
   rc.non_cclm_offset = rd_consts[11];
+  rc.hb = rd_consts[12];
+  rc.chb = rd_consts[13];
   rc.cclm_enabled = cclm_enabled;
   rc.dep_quant = dep_quant;
 
   int ysz = W * H, csz = (W / 2) * (H / 2);
+  int cs = 1 << log2_ctu;
+  int n_cols = W / cs, n_rows = H / cs;
   auto run_frame = [&](int f) {
     RdCommitter rdc;
     rdc.fc.W = W; rdc.fc.H = H; rdc.fc.log2_ctu = log2_ctu;
@@ -1902,17 +2040,18 @@ extern "C" void wrenc_commit_frames_rd(
     rdc.fc.plane[2] = rec_cr + (int64_t)f * csz;
     rdc.mode_map.assign((W >> 2) * (H >> 2), 0);
     rdc.mode_set.assign((W >> 2) * (H >> 2), 0);
-    for (int64_t i = frame_off[f]; i < frame_off[f + 1]; ++i) {
-      const int32_t* m = cu_meta + i * 6;
-      int16_t* cy = coeff_off[i * 3] >= 0 ? coeffs_out + coeff_off[i * 3]
-                                          : nullptr;
-      int16_t* ccb = coeff_off[i * 3 + 1] >= 0
-                         ? coeffs_out + coeff_off[i * 3 + 1] : nullptr;
-      int16_t* ccr = coeff_off[i * 3 + 2] >= 0
-                         ? coeffs_out + coeff_off[i * 3 + 2] : nullptr;
-      rdc.commit_cu(m[0], m[1], m[2], m[3], cands + i * n_cand, n_cand,
-                    cy, ccb, ccr, modes_out + i * 2);
-    }
+    RdCommitter::TreeCtx t;
+    t.nodes = nodes + node_off[f];
+    t.cu_meta = cu_meta;
+    t.cands = cands;
+    t.n_cand = n_cand;
+    t.coeff_off = coeff_off;
+    t.coeffs = coeffs_out;
+    t.modes_out = modes_out;
+    t.decisions = decisions_out + dec_off[f];
+    for (int r = 0; r < n_rows; ++r)
+      for (int col = 0; col < n_cols; ++col)
+        rdc.commit_tree(t, col * cs, r * cs, log2_ctu, 0);
   };
   if (n_threads <= 1 || n_frames <= 1) {
     for (int f = 0; f < n_frames; ++f) run_frame(f);

@@ -33,6 +33,10 @@ class CtNode:
     split: bool = False
     children: list = field(default_factory=list)
     cu: CuDecision = None
+    # commit-time QT refinement: evaluate both the merged leaf (alt_cu)
+    # and the split children on the true reconstruction, keep the cheaper
+    refine: bool = False
+    alt_cu: CuDecision = None
 
     @property
     def size(self):

@@ -12,11 +12,15 @@ then the QT is decided bottom-up by parallel cost reduction. Original-pixel
 references make every block independent; the reconstruction-feedback error
 this introduces is small and is the standard fast-encoder trade.
 
-Stage B — commit (wavefront): the chosen CUs are re-encoded against true
-reconstructed references with trellis RDOQ, batched by dependency rank
-(a CU's rank is 1 + max rank over the 4x4 cells its reference samples
-read). Runs vectorized per rank; bit-exact with the scalar spec model, so
-the entropy coder and decoder agree with the committed reconstruction.
+Stage B — commit (native, coding order): the final decisions are made
+against TRUE reconstructed references, the reference encoder's decision
+discipline (block_splitter.rs:110). Per CU the leaf mode is re-chosen
+among the stage-A candidate list by full trellis RD with the exact
+MPM-aware mode-bit model, the chroma CCLM-vs-derived choice is re-made,
+and QT split decisions whose stage-A margin was small are re-decided with
+snapshot/rollback (block_splitter.rs:1079-1152). Runs in the native C++
+committer, threaded across frames; the NumPy rank-wavefront path remains
+as fallback (stage-A decisions applied as-is).
 """
 import numpy as np
 
@@ -158,16 +162,16 @@ class WavefrontSearch:
                     bd_tab[c, log2 - 2] = qpar.bd_shift
             lam_dq = (self.lam_dq_trellis if self.trellis_commit
                       else self.lam_dq_greedy)
-            cu_lists = [self._collect_cus(trees) for trees in all_trees]
-            if self.rd_commit and native.rd_commit_supported():
+            if self.rd_commit and native.tree_commit_supported():
                 rm, dep = self.rm, self.cfg.dep_quant_enabled
                 i = np.arange(1024, dtype=np.float64)
                 lv64 = ((i + rm.pick('lv_offset', dep, True))
                         ** rm.pick('lv_pow', dep, True)
                         * 16384.0).astype(np.int64)
-                return native.commit_frames_rd_native(
-                    self.cfg, self.batch, cu_lists, ls_tab, bd_tab, lam_dq,
+                return native.commit_frames_tree_native(
+                    self.cfg, self.batch, all_trees, ls_tab, bd_tab, lam_dq,
                     self.trellis_commit, lv64)
+            cu_lists = [self._collect_cus(trees) for trees in all_trees]
             return native.commit_frames_native(
                 self.cfg, self.batch, cu_lists, ls_tab, bd_tab, lam_dq,
                 self.trellis_commit)
@@ -193,6 +197,8 @@ class WavefrontSearch:
         min_s = sizes[0]
         cost = None
         split = {}
+        refine = {}
+        margin = (self.rm.split_refine_margin if self.rd_commit else 0.0)
         self.cclm_choice = {}
         self.scipu_choice = None
         for s in sizes:
@@ -239,8 +245,12 @@ class WavefrontSearch:
                 agg = agg + sc_total.reshape(n_bh, n_bw) + self.lam * chb
             split_here = agg <= leaf
             split[s] = split_here
+            if margin > 0:
+                refine[s] = (np.abs(agg - leaf)
+                             <= margin * np.maximum(np.abs(leaf), 1.0))
             cost = np.where(split_here, agg, leaf)
         self.split = split
+        self.refine = refine
         self.luma_mode = luma_mode
         return self._assemble_trees()
 
@@ -457,12 +467,32 @@ class WavefrontSearch:
                                               0, 'S', 'ALL'))
         return trees
 
+    def _make_leaf_cu(self, x, y, log2, tree, s):
+        idx = (y // s) * (self.cfg.width // s) + x // s
+        m = int(self.luma_mode[s][idx])
+        cmode = m
+        if tree == 'S' and s in self.cclm_choice:
+            cc = int(self.cclm_choice[s][idx])
+            if cc >= 0:
+                cmode = cc
+        cu = CuDecision(x, y, log2, tree, luma_mode=m,
+                        chroma_mode=(cmode if tree == 'S' else 0))
+        if self.rd_commit:
+            cu.cands = [int(c) for c in self.luma_cands[s][idx]]
+        return cu
+
     def _build_node(self, x, y, log2, cqt_depth, tree, mode_type):
         s = 1 << log2
         node = CtNode(x, y, log2, cqt_depth, tree, mode_type)
         min_log2 = self.cfg.log2_ctu_size - self.cfg.max_split_depth
         do_split = (log2 > min_log2
                     and bool(self.split[s][y // s, x // s]))
+        do_refine = (tree == 'S' and log2 > min_log2 and s in self.refine
+                     and bool(self.refine[s][y // s, x // s]))
+        if do_refine:
+            node.refine = True
+            node.alt_cu = self._make_leaf_cu(x, y, log2, tree, s)
+            do_split = True
         if do_split:
             node.split = True
             half = s >> 1
@@ -485,17 +515,7 @@ class WavefrontSearch:
                                    chroma_mode=center)
                 node.children.append(ch)
         else:
-            idx = (y // s) * (self.cfg.width // s) + x // s
-            m = int(self.luma_mode[s][idx])
-            cmode = m
-            if tree == 'S' and s in self.cclm_choice:
-                cc = int(self.cclm_choice[s][idx])
-                if cc >= 0:
-                    cmode = cc
-            node.cu = CuDecision(x, y, log2, tree, luma_mode=m,
-                                 chroma_mode=(cmode if tree == 'S' else 0))
-            if self.rd_commit:
-                node.cu.cands = [int(c) for c in self.luma_cands[s][idx]]
+            node.cu = self._make_leaf_cu(x, y, log2, tree, s)
         return node
 
     # ------------------------------------------------------------- commit
