@@ -43,7 +43,7 @@ def load_frames(n, w, h):
     return synth_frames(n, w, h, seed=1)
 
 
-def main():
+def run_once():
     from wrenc_tpu.core.config import EncoderConfig
     from wrenc_tpu.encoder import Encoder
     from wrenc_tpu.search import WavefrontSearch
@@ -58,9 +58,25 @@ def main():
 
     frames = load_frames(n, W, H)
     t0 = time.perf_counter()
-    stream, recons = enc.encode(frames)
+    enc.encode(frames)
     dt = time.perf_counter() - t0
-    fps = n / dt
+    return n / dt
+
+
+def main():
+    # One retry in a fresh subprocess: the tunnel-attached TPU worker can
+    # crash transiently; a clean process re-initializes the backend.
+    try:
+        fps = run_once()
+    except Exception:
+        import subprocess
+        import sys
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import bench, json; print(json.dumps(bench.run_once()))"],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        fps = float(out.stdout.strip().splitlines()[-1])
 
     baseline_fps = 1.0  # reference: ~1.0 fps bus CIF (BASELINE.md)
     print(json.dumps({

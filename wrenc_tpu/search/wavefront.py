@@ -478,7 +478,16 @@ class WavefrontSearch:
         cu = CuDecision(x, y, log2, tree, luma_mode=m,
                         chroma_mode=(cmode if tree == 'S' else 0))
         if self.rd_commit:
-            cu.cands = [int(c) for c in self.luma_cands[s][idx]]
+            cl = [int(c) for c in self.luma_cands[s][idx]]
+            # probe +-1 around the best angular, the reference step
+            # search's final refinement (block_splitter.rs:905-974)
+            best_ang = next((c for c in cl if c >= 2), None)
+            if best_ang is not None:
+                for d in (-1, 1):
+                    n = best_ang + d
+                    if 2 <= n <= 66 and n not in cl:
+                        cl.append(n)
+            cu.cands = cl
         return cu
 
     def _build_node(self, x, y, log2, cqt_depth, tree, mode_type):
