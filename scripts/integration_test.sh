@@ -12,6 +12,10 @@ TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT
 
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# Conformance is platform-independent; default to CPU so this never
+# contends with a TPU job (the axon tunnel worker crashes if two
+# processes attach). Set WRENC_JAX_PLATFORM=axon to force TPU.
+export WRENC_JAX_PLATFORM=${WRENC_JAX_PLATFORM:-cpu}
 PY=${PY:-python}
 
 $PY - "$CLIP" "$FRAMES" "$TMP/in.yuv" <<'PYEOF'

@@ -88,22 +88,43 @@ extern "C" void wrenc_trellis_quant(const int32_t* t, int B, int log2n,
       int8_t* bpp = &bp_prev[p * 8];
       int32_t* bpm = &bp_mag[p * 8];
 
+      // The (a, mag, dist, base-cost) candidates depend only on
+      // delta = (q_state > 1) and k in {0, 1} — 4 distinct tuples, not
+      // 16, and one integer division per position instead of eight.
+      int64_t cand_a[2][2], cand_mag[2][2], cand_c[2][2];
+      int kmax = tc == 0 ? 1 : 2;
+      if (tc == 0) {
+        for (int d = 0; d < 2; ++d) {
+          cand_a[d][0] = 0; cand_mag[d][0] = 0;
+          cand_c[d][0] = 128 * abs_tc;  // dist = |tc - 0|
+        }
+      } else {
+        int64_t s_ =
+            (abs_tc << bd_shift) + (tc < 0 ? bd_offset : -bd_offset);
+        int64_t q0 = s_ / ls;
+        for (int d = 0; d < 2; ++d) {
+          int64_t a0 = (q0 + d) / 2;
+          for (int k = 0; k < 2; ++k) {
+            int64_t a = a0 + k;
+            int64_t mag = a == 0 ? 0 : 2 * a - d;
+            int64_t dq = (mag * ls + bd_offset) >> bd_shift;
+            cand_a[d][k] = a;
+            cand_mag[d][k] = mag;
+            cand_c[d][k] = 128 * std::abs(abs_tc - dq);
+          }
+        }
+      }
+
       for (int s = 0; s < 8; ++s) {
         if (cost[s] >= BIG) continue;
         int q_state = s >> 1;
         bool trailing = s & 1;
-        int64_t delta = q_state > 1 ? 1 : 0;
-        int64_t s_ = (abs_tc << bd_shift) + (tc < 0 ? bd_offset : -bd_offset);
-        int64_t a0 = (s_ / ls + delta) / 2;
-        int kmax = tc == 0 ? 1 : 2;
+        int d = q_state > 1 ? 1 : 0;
         for (int k = 0; k < kmax; ++k) {
-          int64_t a = tc == 0 ? 0 : a0 + k;
-          int64_t mag = a == 0 ? 0 : 2 * a - delta;
-          int64_t dq = (mag * ls + bd_offset) >> bd_shift;
-          int64_t dist = std::abs(abs_tc - dq);
+          int64_t a = cand_a[d][k];
           int64_t bits = (a == 0 && trailing) ? 0 : a + 1;
           if (bits > 1023) bits = 1023;
-          int64_t c = 128 * dist + lam_dq[bits];
+          int64_t c = cand_c[d][k] + lam_dq[bits];
           if (is_dc && trailing && a == 0) c -= lam_dq[1];
           int nstate = kQStateTrans[q_state][a & 1] * 2 +
                        ((trailing && a == 0) ? 1 : 0);
@@ -111,7 +132,7 @@ extern "C" void wrenc_trellis_quant(const int32_t* t, int B, int log2n,
           if (tot < ncost[nstate]) {
             ncost[nstate] = tot;
             bpp[nstate] = (int8_t)s;
-            bpm[nstate] = (int32_t)(tc < 0 ? -mag : mag);
+            bpm[nstate] = (int32_t)(tc < 0 ? -cand_mag[d][k] : cand_mag[d][k]);
           }
         }
       }
@@ -1319,47 +1340,52 @@ struct FrameCommitter {
   const int32_t* dct_mat(int s) const {
     return tabs->dct[ilog2i(s) - 2];
   }
+  // int32 accumulation throughout (auto-vectorizes): |res| <= 255,
+  // |T| <= 91, so pass-1 sums <= 255*91*32 < 2^20; the >>shift1 rows are
+  // <= ~46.4k, so pass-2 sums <= 46410*91*32 < 2^28; inverse sums
+  // <= 32768*91*32 < 2^27 — all safely inside int32.
   void forward_dct2(const int32_t* res, int s, int32_t* out) const {
     const int32_t* T = dct_mat(s);
     int log2s = ilog2i(s);
     int shift1 = log2s - 1, shift2 = log2s + 6;
-    int64_t h[32 * 32];
+    int32_t h[32 * 32];
+    const int32_t r1 = 1 << (shift1 - 1);
+    const int32_t r2 = 1 << (shift2 - 1);
     for (int y = 0; y < s; ++y)
       for (int i = 0; i < s; ++i) {
-        int64_t sm = 0;
+        int32_t sm = 0;
         for (int x = 0; x < s; ++x)
-          sm += (int64_t)res[y * s + x] * T[i * s + x];
-        h[y * s + i] = (sm + ((int64_t)1 << (shift1 - 1))) >> shift1;
+          sm += res[y * s + x] * T[i * s + x];
+        h[y * s + i] = (sm + r1) >> shift1;
       }
     for (int i = 0; i < s; ++i)
       for (int x = 0; x < s; ++x) {
-        int64_t sm = 0;
+        int32_t sm = 0;
         for (int y = 0; y < s; ++y)
-          sm += (int64_t)T[i * s + y] * h[y * s + x];
-        out[i * s + x] = (int32_t)((sm + ((int64_t)1 << (shift2 - 1)))
-                                   >> shift2);
+          sm += T[i * s + y] * h[y * s + x];
+        out[i * s + x] = (sm + r2) >> shift2;
       }
   }
   void inverse_dct2(const int16_t* d, int s, int32_t* out) const {
     const int32_t* T = dct_mat(s);
-    int64_t v[32 * 32];
+    int32_t v[32 * 32];
     for (int y = 0; y < s; ++y)
       for (int x = 0; x < s; ++x) {
-        int64_t sm = 0;
+        int32_t sm = 0;
         for (int i = 0; i < s; ++i)
-          sm += (int64_t)T[i * s + y] * d[i * s + x];
+          sm += T[i * s + y] * (int32_t)d[i * s + x];
         sm = (sm + 64) >> 7;
         if (sm < -32768) sm = -32768;
         if (sm > 32767) sm = 32767;
         v[y * s + x] = sm;
       }
-    int bd_shift = 12;  // 20 - bit_depth(8)
+    const int bd_shift = 12;  // 20 - bit_depth(8)
     for (int y = 0; y < s; ++y)
       for (int x = 0; x < s; ++x) {
-        int64_t sm = 0;
+        int32_t sm = 0;
         for (int i = 0; i < s; ++i)
           sm += v[y * s + i] * T[i * s + x];
-        out[y * s + x] = (int32_t)((sm + (1 << (bd_shift - 1))) >> bd_shift);
+        out[y * s + x] = (sm + (1 << (bd_shift - 1))) >> bd_shift;
       }
   }
 
