@@ -92,3 +92,76 @@ def test_two_frames_roundtrip():
     for k in range(2):
         for c in range(3):
             assert (frames[k][c] == recons[k][c]).all(), (k, c)
+
+
+def test_mts_idx_emitted_and_parsed(monkeypatch):
+    """mts_idx must be emitted for non-DC-only luma TBs (VTM expects it:
+    sps_explicit_mts_intra_enabled=1; reference ctu_encoder.rs:1292-1319)
+    and parsed identically by the pure-Python decoder."""
+    from wrenc_tpu.encoder import Encoder
+    from wrenc_tpu.decoder import decode_annexb
+    from wrenc_tpu.entropy.cabac import CabacEncoder
+
+    counts = {"mts": 0}
+    orig = CabacEncoder.encode_bin
+
+    def spy(self, se_id, ctx_inc, bin_val):
+        if se_id == SE.MtsIdx:
+            counts["mts"] += 1
+        return orig(self, se_id, ctx_inc, bin_val)
+
+    monkeypatch.setattr(CabacEncoder, "encode_bin", spy)
+    cfg = EncoderConfig(width=64, height=64, qp=27)
+    frame = synth_frame(64, 64, seed=7)
+    # force the Python syntax path so the spy sees every bin
+    enc = Encoder(cfg, use_native=False) if "use_native" in \
+        Encoder.__init__.__code__.co_varnames else Encoder(cfg)
+    stream, recons = enc.encode([frame])
+    assert counts["mts"] > 0, "no mts_idx emitted on textured content"
+    # python decode path must parse it
+    frames = decode_annexb(stream, use_native=False)
+    for c in range(3):
+        assert (frames[0][c] == recons[0][c]).all(), c
+
+
+def test_mts_zero_out_suppresses_mts_idx():
+    """A coded luma sub-block outside the top-left 16x16 of a 32x32 TB
+    clears MtsZeroOutSigCoeffFlag -> no mts_idx (ctu_encoder.rs:2009)."""
+    import numpy as np
+    from wrenc_tpu.bitstream.bitio import BitWriter
+    from wrenc_tpu.core.config import EncoderConfig
+    from wrenc_tpu.entropy.cabac import CabacEncoder, CabacDecoder
+    from wrenc_tpu.entropy.structure import CuDecision
+    from wrenc_tpu.entropy.syntax import SliceSyntax
+    from wrenc_tpu.bitstream.bitio import BitReader
+
+    def code_one(qy):
+        cfg = EncoderConfig(width=32, height=32, qp=32)
+        w = BitWriter()
+        cab = CabacEncoder(w)
+        syn = SliceSyntax(cab, cfg, 'enc')
+        cab.init_slice(cfg.qp)
+        cu = CuDecision(0, 0, 5, 'S', luma_mode=0, chroma_mode=0)
+        cu.coeffs = [qy, np.zeros((16, 16), np.int16),
+                     np.zeros((16, 16), np.int16)]
+        syn.code_transform_unit(cu)
+        return syn.mts_zero_out, syn.mts_dc_only
+
+    # coeff only inside 16x16 -> zero-out survives, not DC-only
+    q_in = np.zeros((32, 32), np.int16)
+    q_in[2, 3] = 4
+    zo, dc = code_one(q_in)
+    assert zo and not dc
+
+    # coeff outside 16x16 -> zero-out cleared
+    q_out = np.zeros((32, 32), np.int16)
+    q_out[2, 3] = 4
+    q_out[20, 20] = 4
+    zo, dc = code_one(q_out)
+    assert not zo and not dc
+
+    # DC-only -> mts_dc_only stays set
+    q_dc = np.zeros((32, 32), np.int16)
+    q_dc[0, 0] = 4
+    zo, dc = code_one(q_dc)
+    assert zo and dc

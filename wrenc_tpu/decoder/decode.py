@@ -133,7 +133,12 @@ class Decoder:
                     qp, log2, log2, dep_quant=p.dep_quant_used,
                     transform_skip=False, bit_depth=p.bit_depth)
                 d = quant.dequantize(q, qpar)
-                res = transform.inverse(d, 0, 0, p.bit_depth)
+                # explicit MTS (luma only; transformer.rs:1896-1903)
+                if c == 0 and cu.mts_idx:
+                    th, tv = [(0, 0), (1, 1), (2, 1), (1, 2), (2, 2)][cu.mts_idx]
+                else:
+                    th, tv = 0, 0
+                res = transform.inverse(d, th, tv, p.bit_depth)
                 rec = np.clip(pred + res, 0, 255)
             self.recon[c][y:y + cs, x:x + cs] = rec
 

@@ -147,6 +147,8 @@ def _encode_slice(cfg, trees, slice_qp, wpp):
         ctypes.c_int(1 if cfg.dep_quant_enabled else 0),
         ctypes.c_int(1 if cfg.transform_skip_enabled else 0),
         ctypes.c_int(1 if cfg.cclm_enabled else 0),
+        ctypes.c_int(1 if getattr(cfg, 'explicit_mts_intra_enabled', False)
+                     else 0),
         _i32p(se_off), ctypes.c_int(len(se_off)),
         _i32p(inits), _i32p(shifts), ctypes.c_int(len(inits)),
         _i32p(nodes), ctypes.c_int64(len(nodes)),
@@ -612,6 +614,8 @@ def decode_slice_native(p, payload, entry_lens=None):
         ctypes.c_int(1 if p.dep_quant_used else 0),
         ctypes.c_int(1 if p.transform_skip_enabled else 0),
         ctypes.c_int(1 if getattr(p, 'cclm_enabled', True) else 0),
+        ctypes.c_int(1 if getattr(p, 'explicit_mts_intra_enabled', False)
+                     else 0),
         _i32p(se_off), ctypes.c_int(len(se_off)),
         _i32p(inits), _i32p(shifts), ctypes.c_int(len(inits)),
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

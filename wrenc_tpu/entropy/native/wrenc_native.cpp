@@ -287,6 +287,7 @@ struct Cabac {
 enum {
   SE_SplitCuFlag = 16, SE_IntraLumaMpmFlag = 34, SE_IntraLumaNotPlanarFlag = 35,
   SE_CclmModeFlag = 40, SE_CclmModeIdx = 41, SE_IntraChromaPredMode = 42,
+  SE_MtsIdx = 67,
   SE_TuYCodedFlag = 87, SE_TuCbCodedFlag = 88, SE_TuCrCodedFlag = 89,
   SE_CuQpDeltaAbs = 90, SE_TransformSkipFlag = 94,
   SE_LastSigCoeffXPrefix = 96, SE_LastSigCoeffYPrefix = 97,
@@ -307,11 +308,14 @@ struct SliceCoder {
   Cabac c;
   int W = 0, H = 0, log2_ctu = 5, qp = 32;
   bool dep_quant = true, transform_skip_enabled = true, cclm_enabled = true;
+  bool explicit_mts_intra = true;
   // maps at 4x4 granularity
   std::vector<int32_t> mode_map;
   std::vector<uint8_t> mode_set;
   std::vector<int16_t> cbw_map, cbh_map;
   bool cu_qp_delta_coded = false;
+  // MtsDcOnly / MtsZeroOutSigCoeffFlag, reset per CU (ctu_encoder.rs:1219)
+  bool mts_dc_only = true, mts_zero_out = true;
   // per-TB scratch
   int32_t pass1[32 * 32];
   int32_t abs_lv[32 * 32];
@@ -460,6 +464,9 @@ struct SliceCoder {
     int last_sb = last_idx / num_sb_coeff;
     int last_scan_pos = last_idx % num_sb_coeff;
 
+    // MtsDcOnly cleared when luma last-sig is not DC (ctu_encoder.rs:1955)
+    if (c_idx == 0 && last_idx > 0) mts_dc_only = false;
+
     int rem_bins = (P * 7) >> 2;
     q_state = 0;
     std::vector<uint8_t> sb_coded_map(nsb_dim * nsb_dim, 0);
@@ -500,6 +507,9 @@ struct SliceCoder {
         sb_coded = true;
       }
       sb_coded_map[sys * nsb_dim + sxs] = sb_coded;
+      // MtsZeroOutSigCoeffFlag: coded luma sub-block outside the top-left
+      // 16x16 region clears it (ctu_encoder.rs:2009-2011)
+      if (sb_coded && (sxs > 3 || sys > 3) && c_idx == 0) mts_zero_out = false;
 
       int first_pos_mode0 = (i == last_sb) ? last_scan_pos : num_sb_coeff - 1;
       int first_pos_mode1 = first_pos_mode0;
@@ -680,6 +690,8 @@ struct SliceCoder {
   void code_tu(const CuRec& cu) {
     bool luma_active = cu.tree != 2;
     bool chroma_active = cu.tree != 1;
+    mts_dc_only = true;
+    mts_zero_out = true;
     const int16_t* qy = cu.coeff_off[0] >= 0 ? coeffs + cu.coeff_off[0] : nullptr;
     const int16_t* qcb = cu.coeff_off[1] >= 0 ? coeffs + cu.coeff_off[1] : nullptr;
     const int16_t* qcr = cu.coeff_off[2] >= 0 ? coeffs + cu.coeff_off[2] : nullptr;
@@ -713,6 +725,13 @@ struct SliceCoder {
       if (transform_skip_enabled) c.bin(SE_TransformSkipFlag, 1, 0);
       code_residual(qcr, cu.log2 - 1, 2);
     }
+    // CU-level mts_idx (ctu_encoder.rs:1292-1319): single/luma tree,
+    // lfnst_idx 0, no TS/ISP/SBT, size <= 32, zero-out set, not DC-only.
+    // Search never selects MTS, so the value is always 0 (one '0' bin,
+    // TR(4,0) with ctxInc = binIdx).
+    if (cu.tree != 2 && explicit_mts_intra && nl <= 32 &&
+        mts_zero_out && !mts_dc_only)
+      c.bin(SE_MtsIdx, 0, 0);
   }
 
   void code_cu(const CuRec& cu) {
@@ -788,7 +807,7 @@ struct SliceCoder {
 extern "C" int64_t wrenc_encode_slice(
     // geometry / flags
     int W, int H, int log2_ctu, int qp, int dep_quant, int ts_enabled,
-    int cclm_enabled,
+    int cclm_enabled, int explicit_mts_intra,
     // cabac context init data (I-slice): per-SE offsets and flat tables
     const int32_t* se_off, int n_se,
     const int32_t* init_vals, const int32_t* shift_vals, int n_ctx,
@@ -808,6 +827,7 @@ extern "C" int64_t wrenc_encode_slice(
   sc.W = W; sc.H = H; sc.log2_ctu = log2_ctu; sc.qp = qp;
   sc.dep_quant = dep_quant; sc.transform_skip_enabled = ts_enabled;
   sc.cclm_enabled = cclm_enabled;
+  sc.explicit_mts_intra = explicit_mts_intra;
   sc.mode_map.assign((W >> 2) * (H >> 2), 0);
   sc.mode_set.assign((W >> 2) * (H >> 2), 0);
   sc.cbw_map.assign((W >> 2) * (H >> 2), 0);
@@ -2383,6 +2403,8 @@ struct SliceDecoder {
   FrameCommitter fc;            // reconstruction + availability
   int W = 0, H = 0, log2_ctu = 5;
   bool dep_quant = true, transform_skip_enabled = true, cclm_enabled = true;
+  bool explicit_mts_intra = true;
+  bool mts_dc_only = true, mts_zero_out = true;
   const int32_t* ls_tab = nullptr;  // [2][4] (min(c,1), log2-2)
   const int32_t* bd_tab = nullptr;
   std::vector<int32_t> mode_map;
@@ -2582,6 +2604,8 @@ struct SliceDecoder {
     int last_sb = last_idx / num_sb_coeff;
     int last_scan_pos = last_idx % num_sb_coeff;
 
+    if (c_idx == 0 && last_idx > 0) mts_dc_only = false;
+
     int rem_bins = (P * 7) >> 2;
     q_state = 0;
     std::vector<uint8_t> sb_coded_map(nsb_dim * nsb_dim, 0);
@@ -2609,6 +2633,7 @@ struct SliceDecoder {
         sb_coded = true;
       }
       sb_coded_map[sys * nsb_dim + sxs] = sb_coded;
+      if (sb_coded && (sxs > 3 || sys > 3) && c_idx == 0) mts_zero_out = false;
 
       int first_pos_mode0 = (i == last_sb) ? last_scan_pos
                                            : num_sb_coeff - 1;
@@ -2767,6 +2792,8 @@ struct SliceDecoder {
     // transform unit
     bool luma_active = tree != 2;
     bool chroma_active = tree != 1;
+    mts_dc_only = true;
+    mts_zero_out = true;
     int cb_coded = 0, cr_coded = 0, y_coded = 0;
     if (chroma_active) {
       cb_coded = c.bin(SE_TuCbCodedFlag, 0);
@@ -2809,6 +2836,15 @@ struct SliceDecoder {
       } else {
         reconstruct(2, x, y, log2, chroma_mode, nullptr, false);
       }
+    }
+    // CU-level mts_idx (ctu_encoder.rs:1292-1319): luma was already
+    // reconstructed with DCT-II above, so any mts_idx != 0 (never produced
+    // by this encoder) aborts native decode; the Python decoder handles it.
+    if (tree != 2 && explicit_mts_intra && size <= 32 &&
+        mts_zero_out && !mts_dc_only) {
+      int mts = 0;
+      while (mts < 4 && c.bin(SE_MtsIdx, mts)) ++mts;
+      if (mts != 0) { error = true; ecode = -8; return; }
     }
   }
 
@@ -2853,7 +2889,7 @@ struct SliceDecoder {
 // recon planes. Returns 0 on success, negative on parse error.
 extern "C" int wrenc_decode_slice(
     int W, int H, int log2_ctu, int qp, int dep_quant, int ts_enabled,
-    int cclm_enabled,
+    int cclm_enabled, int explicit_mts_intra,
     const int32_t* se_off, int n_se,
     const int32_t* init_vals, const int32_t* shift_vals, int n_ctx,
     const uint8_t* data, int64_t n_bytes,
@@ -2875,6 +2911,7 @@ extern "C" int wrenc_decode_slice(
   sd.W = W; sd.H = H; sd.log2_ctu = log2_ctu;
   sd.dep_quant = dep_quant; sd.transform_skip_enabled = ts_enabled;
   sd.cclm_enabled = cclm_enabled;
+  sd.explicit_mts_intra = explicit_mts_intra;
   sd.ls_tab = ls_tab; sd.bd_tab = bd_tab;
   sd.mode_map.assign((W >> 2) * (H >> 2), 0);
   sd.mode_set.assign((W >> 2) * (H >> 2), 0);

@@ -20,6 +20,8 @@ class CuDecision:
     coeffs: list = field(default_factory=lambda: [None, None, None])
     # stage-A luma candidate modes for commit-time re-decision (optional)
     cands: list = None
+    # explicit MTS index (always 0 from this encoder; parsed by the decoder)
+    mts_idx: int = 0
 
 
 @dataclass

@@ -355,6 +355,11 @@ class SliceSyntax:
         log2_l = cu.log2
         chroma_active = cu.tree in ('S', 'C')
         luma_active = cu.tree in ('S', 'L')
+        # MtsDcOnly / MtsZeroOutSigCoeffFlag reset per CU before the
+        # transform tree (ctu_encoder.rs:1219-1220); updated during luma
+        # residual coding, consumed by the CU-level mts_idx condition.
+        self.mts_dc_only = True
+        self.mts_zero_out = True
 
         if self.enc:
             y_coded = luma_active and cu.coeffs[0] is not None and (cu.coeffs[0] != 0).any()
@@ -407,6 +412,24 @@ class SliceSyntax:
                     cu.coeffs[c_idx] = np.zeros((1 << lg, 1 << lg),
                                                 dtype=np.int16)
 
+        # CU-level mts_idx (ctu_encoder.rs:1292-1319; spec 7.3.11.5): emitted
+        # when explicit intra MTS is signalled in the SPS, single/luma tree,
+        # lfnst_idx 0 (LFNST off), no transform skip, size <= 32, no ISP/SBT,
+        # MtsZeroOutSigCoeffFlag still set and the luma TB is not DC-only.
+        if (cu.tree != 'C' and (1 << log2_l) <= 32
+                and getattr(self.p, 'explicit_mts_intra_enabled', False)
+                and self.mts_zero_out and not self.mts_dc_only):
+            # TR(4,0) binarization, ctxInc = binIdx (cabac_contexts.rs:1487)
+            if self.enc:
+                assert getattr(cu, 'mts_idx', 0) == 0, \
+                    "search never selects explicit MTS"
+                self._bin(SE.MtsIdx, 0, 0)
+            else:
+                idx = 0
+                while idx < 4 and self.c.decode_bin(SE.MtsIdx, idx):
+                    idx += 1
+                cu.mts_idx = idx
+
     # ------------------------------------------------------------ residual
     def _code_residual(self, cu, c_idx, log2_w, log2_h):
         """encode_residual / parse counterpart (ctu_encoder.rs:1786)."""
@@ -457,6 +480,11 @@ class SliceSyntax:
         last_scan_pos = next(i for i, (cx, cy) in enumerate(sub)
                              if cx == lx_in and cy == ly_in)
 
+        # MtsDcOnly: cleared when the luma last-significant position is not
+        # DC (ctu_encoder.rs:1955-1957)
+        if c_idx == 0 and (last_sb > 0 or last_scan_pos > 0):
+            self.mts_dc_only = False
+
         rem_bins = ((1 << (log2_w + log2_h)) * 7) >> 2
         self.q_state = 0
         sb_coded_map = np.zeros((len(sbs),), dtype=bool)
@@ -494,6 +522,10 @@ class SliceSyntax:
             elif sb_coded is None:
                 sb_coded = True  # last sub-block and DC sub-block
             sb_coded_map[i] = sb_coded
+            # MtsZeroOutSigCoeffFlag: cleared by a coded luma sub-block
+            # outside the top-left 16x16 region (ctu_encoder.rs:2009-2011)
+            if sb_coded and (sx > 3 or sy > 3) and c_idx == 0:
+                self.mts_zero_out = False
 
             first_pos_mode0 = last_scan_pos if i == last_sb else num_sb_coeff - 1
             first_pos_mode1 = first_pos_mode0
