@@ -32,5 +32,11 @@ $PY -m wrenc_tpu.tools.encode -i "$TMP/in.yuv" -o "$TMP/out.vvc" \
     --num-pictures "$FRAMES" --qp "$QP"
 $PY -m wrenc_tpu.tools.decode -i "$TMP/out.vvc" -o "$TMP/dec.yuv"
 cmp "$TMP/rec.yuv" "$TMP/dec.yuv"
+# Second, independent oracle: clean-room parser sharing no code with the
+# encoder's syntax layer (wrenc_tpu/conformance) — catches syntax-layer
+# misunderstandings the shared-source round trip cannot.
+$PY -m wrenc_tpu.tools.decode --independent -i "$TMP/out.vvc" \
+    -o "$TMP/dec_ind.yuv"
+cmp "$TMP/rec.yuv" "$TMP/dec_ind.yuv"
 echo "integration test PASSED (qp=$QP frames=$FRAMES," \
-     "$(stat -c%s "$TMP/out.vvc") bytes)"
+     "$(stat -c%s "$TMP/out.vvc") bytes, both oracles byte-exact)"

@@ -54,13 +54,18 @@ class CabacContexts:
 class CabacEncoder:
     """Arithmetic encoding engine writing bits into a BitWriter."""
 
-    def __init__(self, bitwriter):
+    def __init__(self, bitwriter, trace=None):
         self.w = bitwriter
         self.ctx = CabacContexts()
         self.range = 510
         self.offset = 0
         self.first_bit = True
         self.outstanding = 0
+        # per-bin debug dump (the reference's bool_coder.rs:275-286 role):
+        # when set to a list, every regular bin appends (se_id, inc, bin)
+        # and every bypass appends (-1, -1, bin) — diffable against the
+        # independent decoder's trace to localise syntax mismatches
+        self.trace = trace
 
     def init_slice(self, slice_qp):
         self.ctx.init_states(slice_qp)
@@ -101,6 +106,8 @@ class CabacEncoder:
     # -- bins --------------------------------------------------------------
     def encode_bin(self, se_id, ctx_inc, bin_val):
         """Regular (context-coded) bin."""
+        if self.trace is not None:
+            self.trace.append((se_id, ctx_inc, 1 if bin_val else 0))
         shift_idx, s0, s1 = self.ctx.states(se_id)
         i = ctx_inc
         p_state = int(s1[i]) + 16 * int(s0[i])
@@ -121,6 +128,8 @@ class CabacEncoder:
         s1[i] = int(s1[i]) - (int(s1[i]) >> sh1) + ((16383 * b) >> sh1)
 
     def encode_bypass(self, bin_val):
+        if self.trace is not None:
+            self.trace.append((-1, -1, 1 if bin_val else 0))
         self.offset <<= 1
         if bin_val:
             self.offset += self.range
