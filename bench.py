@@ -60,6 +60,11 @@ def run_once():
     t0 = time.perf_counter()
     enc.encode(frames)
     dt = time.perf_counter() - t0
+    phases = {k: round(v, 3) for k, v in
+              getattr(enc, 'phase_times', {}).items()}
+    phases['total'] = round(dt, 3)
+    import sys
+    print("phase breakdown (s):", json.dumps(phases), file=sys.stderr)
     return n / dt
 
 

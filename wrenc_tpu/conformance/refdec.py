@@ -456,6 +456,7 @@ MTS_IDX = 67
 Y_CBF, CB_CBF, CR_CBF, QP_DELTA_ABS, TS_FLAG = 87, 88, 89, 90, 94
 LAST_X_PREF, LAST_Y_PREF = 96, 97
 SB_CODED, SIG_COEFF, PAR_LEVEL, GTX_FLAG = 100, 101, 102, 103
+SIGN_FLAG = 106
 
 _RICE_TABLE = (0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2,
                2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3)
@@ -783,36 +784,38 @@ class SliceDecoder:
                     "nonzero cu_qp_delta unsupported")
             self.qp_delta_pending = False
         qy = qcb = qcr = None
+        ts = [0, 0, 0]
         max_ts = 1 << ps.log2_ts_max
         if y_cbf and tree != 'C':
             if ps.transform_skip_enabled and size <= max_ts:
-                _expect(a.bin(TS_FLAG, 0, "transform_skip_flag") == 0,
-                        "transform skip unsupported")
-            qy = self.residual(log2, log2, 0)
+                ts[0] = a.bin(TS_FLAG, 0, "transform_skip_flag")
+            qy = (self.residual_ts(log2, log2, 0) if ts[0]
+                  else self.residual(log2, log2, 0))
         if cb_cbf and tree != 'L':
             csz = size >> 1
             if ps.transform_skip_enabled and csz <= max_ts:
-                _expect(a.bin(TS_FLAG, 1, "transform_skip_flag") == 0,
-                        "transform skip unsupported")
-            qcb = self.residual(log2 - 1, log2 - 1, 1)
+                ts[1] = a.bin(TS_FLAG, 1, "transform_skip_flag")
+            qcb = (self.residual_ts(log2 - 1, log2 - 1, 1) if ts[1]
+                   else self.residual(log2 - 1, log2 - 1, 1))
         if cr_cbf and tree != 'L':
             csz = size >> 1
             if ps.transform_skip_enabled and csz <= max_ts:
-                _expect(a.bin(TS_FLAG, 1, "transform_skip_flag") == 0,
-                        "transform skip unsupported")
-            qcr = self.residual(log2 - 1, log2 - 1, 2)
+                ts[2] = a.bin(TS_FLAG, 1, "transform_skip_flag")
+            qcr = (self.residual_ts(log2 - 1, log2 - 1, 2) if ts[2]
+                   else self.residual(log2 - 1, log2 - 1, 2))
         # mts_idx (ctu_encoder.rs:1292-1319; spec 7.3.11.5)
         mts = 0
         if (tree != 'C' and ps.explicit_mts_intra and size <= 32
+                and not ts[0]
                 and self.mts_zero_out and not self.mts_dc_only):
             while mts < 4 and a.bin(MTS_IDX, mts, "mts_idx"):
                 mts += 1
         # reconstruct
         if tree != 'C':
-            self.reconstruct(0, x, y, log2, luma_mode, qy, mts)
+            self.reconstruct(0, x, y, log2, luma_mode, qy, mts, ts[0])
         if tree != 'L':
-            self.reconstruct(1, x, y, log2, chroma_mode, qcb, 0)
-            self.reconstruct(2, x, y, log2, chroma_mode, qcr, 0)
+            self.reconstruct(1, x, y, log2, chroma_mode, qcb, 0, ts[1])
+            self.reconstruct(2, x, y, log2, chroma_mode, qcr, 0, ts[2])
 
     # ------------------------------------------------------------ residual
     def residual(self, log2w, log2h, c_idx):
@@ -954,6 +957,142 @@ class SliceDecoder:
                 q[yc, xc] = -mag if signs[n] else mag
         return q
 
+    def residual_ts(self, log2w, log2h, c_idx):
+        """Transform-skip residual (ctu_encoder.rs:2271-2610; TS ctx
+        derivations bool_coder.rs:2102,2246,2292,2373). Forward sub-block
+        scan, context-coded signs, left/above level-prediction remap, no
+        dependent quantization."""
+        a = self.a
+        w, h = 1 << log2w, 1 << log2h
+        log2sb = 2 if min(log2w, log2h) >= 2 else 1
+        sbw = 1 << log2sb
+        in_sb = _diag_positions(sbw, sbw)
+        sbs = _diag_positions(w >> log2sb, h >> log2sb)
+        nsbc = sbw * sbw
+
+        q = np.zeros((h, w), dtype=np.int16)
+        pass1 = np.zeros((h, w), np.int64)
+        pass2 = np.zeros((h, w), np.int64)
+        sig = np.zeros((h, w), np.int64)
+        sign = np.zeros((h, w), np.int8)
+        slvl = np.zeros((h, w), np.int8)
+        sb_coded_grid = np.zeros((h >> log2sb, w >> log2sb), bool)
+        rem = (w * h * 7) >> 2
+        infer_cbf = True
+
+        def sign_inc(xc, yc):
+            left = int(slvl[yc, xc - 1]) if xc > 0 else 0
+            above = int(slvl[yc - 1, xc]) if yc > 0 else 0
+            if (left == 0 and above == 0) or left == -above:
+                return 0
+            return 1 if (left >= 0 and above >= 0) else 2
+
+        for i, (sx, sy) in enumerate(sbs):
+            ox, oy = sx << log2sb, sy << log2sb
+            last_sb = (i == len(sbs) - 1)
+            if not last_sb or not infer_cbf:
+                inc = 4
+                if sx > 0:
+                    inc += int(sb_coded_grid[sy, sx - 1])
+                if sy > 0:
+                    inc += int(sb_coded_grid[sy - 1, sx])
+                coded = bool(a.bin(SB_CODED, inc, "ts_sb_coded_flag"))
+            else:
+                coded = True
+            sb_coded_grid[sy, sx] = coded
+            if coded and not last_sb:
+                infer_cbf = False
+
+            # pass 1: sig + sign + gt0 + par
+            infer_sig = True
+            p1_pos = -1
+            n = 0
+            while n < nsbc and rem >= 4:
+                xc, yc = ox + in_sb[n][0], oy + in_sb[n][1]
+                p1_pos = n
+                if coded and (n != nsbc - 1 or not infer_sig):
+                    inc = 60
+                    if xc > 0 and pass1[yc, xc - 1] >= 1:
+                        inc += 1
+                    if yc > 0 and pass1[yc - 1, xc] >= 1:
+                        inc += 1
+                    s = a.bin(SIG_COEFF, inc, "ts_sig_coeff_flag")
+                    rem -= 1
+                    if s:
+                        infer_sig = False
+                else:
+                    s = 1 if (coded and n == nsbc - 1 and infer_sig) else 0
+                sig[yc, xc] = s
+                gt0 = par = 0
+                if s:
+                    sg = a.bin(SIGN_FLAG, sign_inc(xc, yc),
+                               "ts_coeff_sign_flag")
+                    rem -= 1
+                    sign[yc, xc] = sg
+                    slvl[yc, xc] = -1 if sg else 1
+                    inc = 64 + (int(sig[yc, xc - 1]) if xc > 0 else 0) \
+                        + (int(sig[yc - 1, xc]) if yc > 0 else 0)
+                    gt0 = a.bin(GTX_FLAG, inc, "ts_abs_level_gtx_flag0")
+                    rem -= 1
+                    if gt0:
+                        par = a.bin(PAR_LEVEL, 32, "ts_par_level_flag")
+                        rem -= 1
+                pass1[yc, xc] = s + par + gt0
+                n += 1
+
+            # pass 2: gtx j = 1..4
+            p2_pos = -1
+            n = 0
+            while n < nsbc and rem >= 4 and n <= p1_pos:
+                xc, yc = ox + in_sb[n][0], oy + in_sb[n][1]
+                pass2[yc, xc] = pass1[yc, xc]
+                gt_prev = pass1[yc, xc] >= 2
+                for j in range(1, 5):
+                    if not gt_prev:
+                        break
+                    g = a.bin(GTX_FLAG, 67 + j, "ts_abs_level_gtx_flag")
+                    rem -= 1
+                    pass2[yc, xc] += 2 * g
+                    gt_prev = bool(g)
+                p2_pos = n
+                n += 1
+
+            # pass 3: remainder + trailing signs; finalize coefficients
+            for n in range(nsbc):
+                xc, yc = ox + in_sb[n][0], oy + in_sb[n][1]
+                rv = 0
+                if ((n <= p2_pos and pass2[yc, xc] >= 10)
+                        or (p2_pos < n <= p1_pos and pass1[yc, xc] >= 2)
+                        or (n > p1_pos and coded)):
+                    rv = self._rice_value(1, "ts_abs_remainder")
+                if n > p2_pos and n > p1_pos and rv > 0:
+                    sign[yc, xc] = a.bin(SIGN_FLAG, sign_inc(xc, yc),
+                                         "ts_coeff_sign_flag")
+                if not coded:
+                    continue
+                if n <= p2_pos:
+                    lvl = int(pass2[yc, xc]) + 2 * rv
+                elif n <= p1_pos:
+                    lvl = int(pass1[yc, xc]) + 2 * rv
+                else:
+                    lvl = rv
+                if lvl <= 0:
+                    continue
+                if n <= p1_pos:
+                    left = abs(int(q[yc, xc - 1])) if xc > 0 else 0
+                    above = abs(int(q[yc - 1, xc])) if yc > 0 else 0
+                    pred = max(left, above)
+                    if lvl == 1 and pred > 0:
+                        mag = pred
+                    elif lvl <= pred:
+                        mag = lvl - 1
+                    else:
+                        mag = lvl
+                else:
+                    mag = lvl
+                q[yc, xc] = -mag if sign[yc, xc] else mag
+        return q
+
     def _last_pos(self, se, c_idx, log2size):
         """last_sig_coeff_{x,y}: TR-coded prefix + FL bypass suffix
         (spec 9.3.4.2.4 ctx derivation)."""
@@ -1039,7 +1178,7 @@ class SliceDecoder:
         return (6 << rice) + (((1 << pre) - 1) << k) + rem
 
     # -------------------------------------------------------- reconstruction
-    def reconstruct(self, c, x, y, log2, mode, qlv, mts):
+    def reconstruct(self, c, x, y, log2, mode, qlv, mts, ts=0):
         ps = self.ps
         shift = 0 if c == 0 else 1
         plane = (self.y, self.cb, self.cr)[c]
@@ -1060,13 +1199,16 @@ class SliceDecoder:
             spec_quant.chroma_qp_from_luma(ps.slice_qp)
         qpar = spec_quant.derive_quant_params(
             qp, log2 - shift, log2 - shift, dep_quant=ps.dep_quant_used,
-            transform_skip=False, bit_depth=ps.bit_depth)
+            transform_skip=bool(ts), bit_depth=ps.bit_depth)
         d = spec_quant.dequantize(qlv, qpar)
-        if c == 0 and mts:
-            th, tv = ((0, 0), (1, 1), (2, 1), (1, 2), (2, 2))[mts]
+        if ts:
+            res = d   # transform skip: residual = dequantized levels
         else:
-            th, tv = 0, 0
-        res = spec_transform.inverse(d, th, tv, ps.bit_depth)
+            if c == 0 and mts:
+                th, tv = ((0, 0), (1, 1), (2, 1), (1, 2), (2, 2))[mts]
+            else:
+                th, tv = 0, 0
+            res = spec_transform.inverse(d, th, tv, ps.bit_depth)
         plane[cy:cy + s, cx:cx + s] = np.clip(pred + res, 0, 255)
 
 

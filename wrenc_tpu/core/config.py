@@ -29,8 +29,13 @@ class RateModelConfig:
     stage_a_mode_bits_scale: float = 2.0
     # commit-time QT split refinement: stage-A split decisions whose
     # relative cost margin is below this are re-decided on the true
-    # reconstruction (0 disables; framework knob, not in the reference)
-    split_refine_margin: float = 0.5
+    # reconstruction (0 disables; framework knob, not in the reference).
+    # 0.15 measured BD-rate-neutral vs 0.5 at ~2x less commit work
+    # (tools/ab_margins.py, bus 8fr x 4QP)
+    split_refine_margin: float = 0.15
+    # commit-time mode re-decision is skipped (winner encoded directly)
+    # when stage A's top-2 relative margin exceeds this (0 disables)
+    rd_commit_prune_margin: float = 0.25
     # mode-bits model
     non_planar_offset: float = 2.4951231
     non_planar_offset_dq: float = 2.6002965
@@ -113,6 +118,9 @@ class EncoderConfig:
     cclm_enabled: bool = True
     transform_skip_enabled: bool = True  # signalled in SPS; search may use it
     log2_transform_skip_max_size: int = 5
+    # RD-select transform skip per luma TB (ScalarEncoder; useful for
+    # screen content). Entropy coding then runs on the Python syntax path.
+    transform_skip_search: bool = False
     mts_enabled: bool = True             # explicit MTS signalled, idx always 0
     explicit_mts_intra_enabled: bool = True
     explicit_mts_inter_enabled: bool = True

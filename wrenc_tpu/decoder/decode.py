@@ -129,16 +129,23 @@ class Decoder:
             else:
                 qp_y = p.slice_qp
                 qp = qp_y if c == 0 else quant.chroma_qp_from_luma(qp_y)
+                is_ts = bool(cu.ts[min(c, 2)]) if cu.ts else False
                 qpar = quant.derive_quant_params(
                     qp, log2, log2, dep_quant=p.dep_quant_used,
-                    transform_skip=False, bit_depth=p.bit_depth)
+                    transform_skip=is_ts, bit_depth=p.bit_depth)
                 d = quant.dequantize(q, qpar)
-                # explicit MTS (luma only; transformer.rs:1896-1903)
-                if c == 0 and cu.mts_idx:
-                    th, tv = [(0, 0), (1, 1), (2, 1), (1, 2), (2, 2)][cu.mts_idx]
+                if is_ts:
+                    # transform skip: residual = dequantized levels
+                    # (spec 8.7.2; no inverse transform)
+                    res = d
                 else:
-                    th, tv = 0, 0
-                res = transform.inverse(d, th, tv, p.bit_depth)
+                    # explicit MTS (luma only; transformer.rs:1896-1903)
+                    if c == 0 and cu.mts_idx:
+                        th, tv = [(0, 0), (1, 1), (2, 1),
+                                  (1, 2), (2, 2)][cu.mts_idx]
+                    else:
+                        th, tv = 0, 0
+                    res = transform.inverse(d, th, tv, p.bit_depth)
                 rec = np.clip(pred + res, 0, 255)
             self.recon[c][y:y + cs, x:x + cs] = rec
 

@@ -30,6 +30,7 @@ class Encoder:
 
         Returns (annexb_bytes, [reconstruction per frame]).
         """
+        import time as _time
         cfg = self.cfg
         out = bytearray()
         nal.write_nal(out, 1, nal.VPS_NUT, write_vps(cfg))
@@ -40,11 +41,14 @@ class Encoder:
             results = self.search.encode_frames(frames)
         else:
             results = [self.search.encode_frame(p) for p in frames]
+        t0 = _time.perf_counter()
         for poc, (trees, recon) in enumerate(results):
             nal.write_nal(out, 9, nal.PH_NUT, write_ph(cfg, poc))
             rbsp = self.encode_slice(trees)
             nal.write_nal(out, 9, nal.IDR_W_RADL, rbsp)
             recons.append(tuple(p.astype(np.uint8) for p in recon))
+        self.phase_times = dict(getattr(self.search, 'phase_times', {}))
+        self.phase_times['host_entropy'] = _time.perf_counter() - t0
         return bytes(out), recons
 
     def encode_slice(self, trees):
@@ -56,7 +60,9 @@ class Encoder:
         if not wpp:
             w = BitWriter()
             write_sh(w, cfg, cfg.qp)
-            if self.use_native:
+            # the native slice coder handles the production decision set;
+            # transform-skip CUs go through the Python syntax layer
+            if self.use_native and not cfg.transform_skip_search:
                 from .entropy import native
                 return w.bytes() + native.encode_slice_native(cfg, trees,
                                                               cfg.qp)

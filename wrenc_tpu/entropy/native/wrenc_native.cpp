@@ -14,6 +14,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 #include <algorithm>
@@ -905,6 +906,8 @@ extern "C" int64_t wrenc_encode_slice(
 // intra_predictor.rs / transformer.rs / quantizer.rs). This replaces the
 // NumPy wavefront commit pass on the host hot path.
 #include <atomic>
+#include <chrono>
+#include <cstdlib>
 #include <thread>
 
 namespace {
@@ -1565,9 +1568,24 @@ struct RdConsts {
   double hb, chb;  // header_bits / chroma_header_bits (trellis variants)
 };
 
+// optional commit profiling (WRENC_COMMIT_PROF=1): accumulated seconds per
+// phase across threads, printed by wrenc_commit_frames_tree
+struct CommitProf {
+  std::atomic<int64_t> luma_rank_us{0}, luma_final_us{0}, chroma_us{0};
+  std::atomic<int64_t> n_cu{0}, n_rank_evals{0}, n_refine{0}, n_pruned{0};
+};
+static CommitProf g_commit_prof;
+
+static inline int64_t now_us() {
+  return std::chrono::duration_cast<std::chrono::microseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
 struct RdCommitter {
   FrameCommitter fc;
   const RdConsts* rd;
+  bool prof = false;
   // MPM state at 4x4 granularity (coding order), as in spec/encoder.py
   // _search_mpm / SliceCoder::mpm_list
   std::vector<int32_t> mode_map;
@@ -1670,9 +1688,10 @@ struct RdCommitter {
 
   // full evaluation of one component with one mode, WITHOUT writing:
   // returns SSD, fills q (levels) and rec. Math identical to
-  // FrameCommitter::commit_comp.
+  // FrameCommitter::commit_comp. trellis < 0 follows tabs->trellis;
+  // 0 forces the greedy quantizer (cheap candidate ranking).
   int64_t eval_comp(int c, int x, int y, int log2, int mode, int16_t* q,
-                    int32_t* rec) const {
+                    int32_t* rec, int trellis = -1) const {
     int sh = c == 0 ? 0 : 1;
     int s = 1 << (log2 - sh);
     int cx = x >> sh, cy = y >> sh;
@@ -1696,8 +1715,9 @@ struct RdCommitter {
     int ci = c == 0 ? 0 : 1;
     int32_t ls = fc.tabs->ls_tab[ci * 4 + (log2 - sh - 2)];
     int32_t bd = fc.tabs->bd_tab[ci * 4 + (log2 - sh - 2)];
+    if (trellis < 0) trellis = fc.tabs->trellis;
     if (fc.tabs->dep_quant) {
-      if (fc.tabs->trellis)
+      if (trellis)
         wrenc_trellis_quant(t, 1, log2 - sh, ls, bd, fc.tabs->lam_dq, q);
       else
         wrenc_greedy_quant(t, 1, log2 - sh, ls, bd, fc.tabs->lam_dq, q);
@@ -1806,46 +1826,59 @@ struct RdCommitter {
     if (tree != 2) {
       int cand5[5];
       mpm_list(x, y, size, cand5);
+      // candidate RANKING uses the greedy quantizer and luma only — the
+      // final winner is re-encoded below with the commit quantizer
+      // (trellis). Ranking work per candidate drops ~4x vs trellis+chroma
+      // with negligible RD impact (the reference ranks by SAD before its
+      // full-RD step search, block_splitter.rs:887-974).
       double best = 0;
       bool first = true;
       int16_t qy[32 * 32];
       int32_t ry[32 * 32];
-      int16_t qc[16 * 16];
-      int32_t rc[16 * 16];
-      for (int k = 0; k < n_cand; ++k) {
-        int m = cands[k];
-        if (m < 0) continue;
-        bool dup = false;
-        for (int j = 0; j < k; ++j) dup = dup || cands[j] == m;
-        if (dup) continue;
-        int64_t ssd_y = eval_comp(0, x, y, log2, m, qy, ry);
-        double mb = luma_mode_bits(m, cand5);
-        int64_t level_y = level_rate(qy, log2) + (int64_t)(mb * 16384.0);
-        double cost_y =
-            (double)ssd_y + rd->lam * ((double)level_y / 16384.0);
-        double cost = cost_y;
-        if (tree == 0) {
-          // single-tree leaf: the luma choice includes the derived-mode
-          // chroma contribution (block_splitter.rs get_intra_pred_cost
-          // covers all three components)
-          int64_t ssd_c = eval_comp(1, x, y, log2, m, qc, rc);
-          int64_t level_c = level_rate(qc, log2 - 1);
-          ssd_c += eval_comp(2, x, y, log2, m, qc, rc);
-          level_c += level_rate(qc, log2 - 1);
-          cost += (double)ssd_c + rd->lam * ((double)level_c / 16384.0);
-        }
-        if (first || cost < best) {
-          first = false;
-          best = cost;
-          luma_mode = m;
-          luma_cost = cost_y;
-          std::memcpy(best_qy, qy, sizeof(int16_t) * size * size);
-          std::memcpy(best_ry, ry, sizeof(int32_t) * size * size);
+      int n_live = 0;
+      int last_live = 0;
+      for (int k = 0; k < n_cand; ++k)
+        if (cands[k] >= 0) { ++n_live; last_live = cands[k]; }
+      int64_t tp0 = prof ? now_us() : 0;
+      if (n_live == 1) {
+        luma_mode = last_live;
+        if (prof) g_commit_prof.n_pruned.fetch_add(1);
+      } else {
+        for (int k = 0; k < n_cand; ++k) {
+          int m = cands[k];
+          if (m < 0) continue;
+          bool dup = false;
+          for (int j = 0; j < k; ++j) dup = dup || cands[j] == m;
+          if (dup) continue;
+          int64_t ssd_y = eval_comp(0, x, y, log2, m, qy, ry, 0);
+          double mb = luma_mode_bits(m, cand5);
+          int64_t level_y = level_rate(qy, log2) + (int64_t)(mb * 16384.0);
+          double cost =
+              (double)ssd_y + rd->lam * ((double)level_y / 16384.0);
+          if (prof) g_commit_prof.n_rank_evals.fetch_add(1);
+          if (first || cost < best) {
+            first = false;
+            best = cost;
+            luma_mode = m;
+          }
         }
       }
+      int64_t tp1 = prof ? now_us() : 0;
+      // final encode of the winner with the commit quantizer
+      int64_t ssd_y = eval_comp(0, x, y, log2, luma_mode, best_qy, best_ry);
+      double mb = luma_mode_bits(luma_mode, cand5);
+      int64_t level_y =
+          level_rate(best_qy, log2) + (int64_t)(mb * 16384.0);
+      luma_cost = (double)ssd_y + rd->lam * ((double)level_y / 16384.0);
       write_comp(0, x, y, log2, best_ry, best_qy, coeff_y);
       set_mode_map(x, y, size, luma_mode);
       modes_out[0] = luma_mode;
+      if (prof) {
+        int64_t tp2 = now_us();
+        g_commit_prof.luma_rank_us.fetch_add(tp1 - tp0);
+        g_commit_prof.luma_final_us.fetch_add(tp2 - tp1);
+        g_commit_prof.n_cu.fetch_add(1);
+      }
     } else {
       modes_out[0] = 0;
     }
@@ -1855,6 +1888,7 @@ struct RdCommitter {
     }
     // chroma: derived vs best-of-3 CCLM (aux SAD pick, then full RD;
     // derived wins ties — block_splitter.rs:1039-1076)
+    int64_t tc0 = prof ? now_us() : 0;
     int derived;
     if (tree == 2) {
       int cxc = x + size / 2, cyc = y + size / 2;
@@ -1894,6 +1928,7 @@ struct RdCommitter {
     write_comp(1, x, y, log2, rcb, qcb, coeff_cb);
     write_comp(2, x, y, log2, rcr, qcr, coeff_cr);
     modes_out[1] = chroma_mode;
+    if (prof) g_commit_prof.chroma_us.fetch_add(now_us() - tc0);
     return luma_cost + cost_d;
   }
 
@@ -2002,6 +2037,7 @@ struct RdCommitter {
     // refine: evaluate merged leaf first (the reference evaluates
     // no-split first; no-split wins ties, block_splitter.rs:1125)
     int leaf_idx = t.nodes[t.pos++];
+    if (prof) g_commit_prof.n_refine.fetch_add(1);
     int64_t my_d = t.dpos++;
     int s = 1 << log2;
     RegionSnap pre, after_leaf;
@@ -2073,8 +2109,10 @@ extern "C" void wrenc_commit_frames_tree(
   int ysz = W * H, csz = (W / 2) * (H / 2);
   int cs = 1 << log2_ctu;
   int n_cols = W / cs, n_rows = H / cs;
+  const bool prof = std::getenv("WRENC_COMMIT_PROF") != nullptr;
   auto run_frame = [&](int f) {
     RdCommitter rdc;
+    rdc.prof = prof;
     rdc.fc.W = W; rdc.fc.H = H; rdc.fc.log2_ctu = log2_ctu;
     rdc.fc.tabs = &tabs;
     rdc.rd = &rc;
@@ -2110,6 +2148,20 @@ extern "C" void wrenc_commit_frames_tree(
         while ((f = next.fetch_add(1)) < n_frames) run_frame(f);
       });
     for (auto& th : ts) th.join();
+  }
+  if (prof) {
+    auto& p = g_commit_prof;
+    std::fprintf(stderr,
+                 "[commit prof] cu=%lld rank_evals=%lld pruned=%lld "
+                 "refine=%lld luma_rank=%.3fs luma_final=%.3fs "
+                 "chroma=%.3fs (thread-summed)\n",
+                 (long long)p.n_cu.load(), (long long)p.n_rank_evals.load(),
+                 (long long)p.n_pruned.load(),
+                 (long long)p.n_refine.load(),
+                 p.luma_rank_us.load() / 1e6, p.luma_final_us.load() / 1e6,
+                 p.chroma_us.load() / 1e6);
+    p.luma_rank_us = 0; p.luma_final_us = 0; p.chroma_us = 0;
+    p.n_cu = 0; p.n_rank_evals = 0; p.n_refine = 0; p.n_pruned = 0;
   }
 }
 

@@ -22,6 +22,9 @@ class CuDecision:
     cands: list = None
     # explicit MTS index (always 0 from this encoder; parsed by the decoder)
     mts_idx: int = 0
+    # per-component transform_skip flags (selected by the search when
+    # cfg.transform_skip_search is on; parsed by the decoder)
+    ts: list = field(default_factory=lambda: [0, 0, 0])
 
 
 @dataclass

@@ -388,22 +388,41 @@ class SliceSyntax:
             assert v == 0, "non-zero cu_qp_delta not produced by this encoder"
             self.is_cu_qp_delta_coded = True
 
-        ts_sizes_ok = (1 << log2_l) <= (1 << self.p.log2_transform_skip_max_size)
+        max_ts = 1 << self.p.log2_transform_skip_max_size
+        ts_in = getattr(cu, 'ts', None) or [0, 0, 0]
         if y_coded and cu.tree != 'C':
-            if self.p.transform_skip_enabled and ts_sizes_ok:
-                ts = self._bin(SE.TransformSkipFlag, 0, 0 if self.enc else None)
-                assert ts == 0, "transform skip not produced by this encoder"
-            self._code_residual(cu, 0, log2_l, log2_l)
+            ts = 0
+            if self.p.transform_skip_enabled and (1 << log2_l) <= max_ts:
+                ts = self._bin(SE.TransformSkipFlag, 0,
+                               ts_in[0] if self.enc else None)
+            if not self.enc:
+                cu.ts[0] = ts
+            if ts:
+                self._code_residual_ts(cu, 0, log2_l, log2_l)
+            else:
+                self._code_residual(cu, 0, log2_l, log2_l)
         if cb_coded and cu.tree != 'L':
-            if self.p.transform_skip_enabled:
-                ts = self._bin(SE.TransformSkipFlag, 1, 0 if self.enc else None)
-                assert ts == 0
-            self._code_residual(cu, 1, log2_l - 1, log2_l - 1)
+            ts = 0
+            if self.p.transform_skip_enabled and (1 << (log2_l - 1)) <= max_ts:
+                ts = self._bin(SE.TransformSkipFlag, 1,
+                               ts_in[1] if self.enc else None)
+            if not self.enc:
+                cu.ts[1] = ts
+            if ts:
+                self._code_residual_ts(cu, 1, log2_l - 1, log2_l - 1)
+            else:
+                self._code_residual(cu, 1, log2_l - 1, log2_l - 1)
         if cr_coded and cu.tree != 'L':
-            if self.p.transform_skip_enabled:
-                ts = self._bin(SE.TransformSkipFlag, 1, 0 if self.enc else None)
-                assert ts == 0
-            self._code_residual(cu, 2, log2_l - 1, log2_l - 1)
+            ts = 0
+            if self.p.transform_skip_enabled and (1 << (log2_l - 1)) <= max_ts:
+                ts = self._bin(SE.TransformSkipFlag, 1,
+                               ts_in[2] if self.enc else None)
+            if not self.enc:
+                cu.ts[2] = ts
+            if ts:
+                self._code_residual_ts(cu, 2, log2_l - 1, log2_l - 1)
+            else:
+                self._code_residual(cu, 2, log2_l - 1, log2_l - 1)
         if not self.enc:
             for c_idx, coded in ((0, y_coded), (1, cb_coded), (2, cr_coded)):
                 active = luma_active if c_idx == 0 else chroma_active
@@ -416,7 +435,9 @@ class SliceSyntax:
         # when explicit intra MTS is signalled in the SPS, single/luma tree,
         # lfnst_idx 0 (LFNST off), no transform skip, size <= 32, no ISP/SBT,
         # MtsZeroOutSigCoeffFlag still set and the luma TB is not DC-only.
-        if (cu.tree != 'C' and (1 << log2_l) <= 32
+        ts_luma = bool(y_coded) and bool((getattr(cu, 'ts', None)
+                                          or [0, 0, 0])[0])
+        if (cu.tree != 'C' and (1 << log2_l) <= 32 and not ts_luma
                 and getattr(self.p, 'explicit_mts_intra_enabled', False)
                 and self.mts_zero_out and not self.mts_dc_only):
             # TR(4,0) binarization, ctxInc = binIdx (cabac_contexts.rs:1487)
@@ -648,6 +669,215 @@ class SliceSyntax:
                     else:
                         mag = a
                     out[yc, xc] = -mag if sign_map[yc, xc] else mag
+
+    # --------------------------------------------------------- TS residual
+    def _code_residual_ts(self, cu, c_idx, log2_w, log2_h):
+        """Transform-skip residual coding (ctu_encoder.rs:2271-2610; TS ctx
+        derivations bool_coder.rs:2102,2246,2292,2373). No BDPCM.
+
+        Forward sub-block scan; levels are coded with the left/above
+        magnitude prediction remap; signs are context-coded; no dependent
+        quantization inside TS blocks."""
+        tw, th = 1 << log2_w, 1 << log2_h
+        q = cu.coeffs[c_idx] if self.enc else None
+        if not self.enc:
+            cu.coeffs[c_idx] = np.zeros((th, tw), dtype=np.int16)
+            q = cu.coeffs[c_idx]
+
+        log2_sb_w, log2_sb_h = quant.sb_size(log2_w, log2_h)
+        sub = tables.diag_scan(log2_sb_h, log2_sb_w)
+        sbs = tables.diag_scan(log2_h - log2_sb_h, log2_w - log2_sb_w)
+        num_sb = 1 << (log2_sb_w + log2_sb_h)
+        last_sb = len(sbs) - 1
+        nsb_w = tw >> log2_sb_w
+
+        pass1 = np.zeros((th, tw), np.int64)
+        pass2 = np.zeros((th, tw), np.int64)
+        sig_map = np.zeros((th, tw), np.int64)
+        sign_map = np.zeros((th, tw), np.int8)
+        sign_lvl = np.zeros((th, tw), np.int8)   # -1 / 0 / +1
+        sb_coded_grid = np.zeros((th >> log2_sb_h, tw >> log2_sb_w), bool)
+        rem_ccbs = (tw * th * 7) >> 2
+        infer_sb_cbf = True
+
+        def pred_coeff(xc, yc):
+            """Left/above magnitude prediction (final stored coeffs)."""
+            left = abs(int(q[yc, xc - 1])) if xc > 0 else 0
+            above = abs(int(q[yc - 1, xc])) if yc > 0 else 0
+            return max(left, above)
+
+        def remap_level(xc, yc):
+            """Coded level for |coeff| with the prediction remap
+            (ctu_encoder.rs:2345-2362)."""
+            pred = pred_coeff(xc, yc)
+            a = abs(int(q[yc, xc]))
+            if a == pred and pred > 0:
+                return 1
+            return a + 1 if a < pred else a
+
+        def unmap_level(lvl, xc, yc):
+            pred = pred_coeff(xc, yc)
+            if lvl == 1 and pred > 0:
+                return pred
+            return lvl - 1 if lvl <= pred else lvl
+
+        for i in range(len(sbs)):
+            sx, sy = int(sbs[i][0]), int(sbs[i][1])
+            x0, y0 = sx << log2_sb_w, sy << log2_sb_h
+            if self.enc:
+                blk = q[y0:y0 + (1 << log2_sb_h), x0:x0 + (1 << log2_sb_w)]
+                sb_coded = int((blk != 0).any())
+            else:
+                sb_coded = None
+            if i != last_sb or not infer_sb_cbf:
+                # TS ctx: 4 + left/above coded sub-blocks
+                inc = 4
+                if sx > 0:
+                    inc += int(sb_coded_grid[sy, sx - 1])
+                if sy > 0:
+                    inc += int(sb_coded_grid[sy - 1, sx])
+                sb_coded = self._bin(SE.SbCodedFlag, inc, sb_coded)
+            else:
+                if not self.enc:
+                    sb_coded = 1
+                else:
+                    assert sb_coded == 1, "inferred sb must be coded"
+            sb_coded_grid[sy, sx] = bool(sb_coded)
+            if sb_coded and i < last_sb:
+                infer_sb_cbf = False
+
+            # ---- pass 1: sig + sign + gt0 + par
+            infer_sb_sig = True
+            pass1_pos = -1
+            n = 0
+            while n < num_sb and rem_ccbs >= 4:
+                xc = x0 + int(sub[n][0])
+                yc = y0 + int(sub[n][1])
+                pass1_pos = n
+                sig = int(q[yc, xc] != 0) if self.enc else None
+                emitted = sb_coded and (n != num_sb - 1 or not infer_sb_sig)
+                if emitted:
+                    # TS sig ctx: 60 + processed-sig neighbours
+                    inc = 60
+                    if xc > 0 and pass1[yc, xc - 1] >= 1:
+                        inc += 1
+                    if yc > 0 and pass1[yc - 1, xc] >= 1:
+                        inc += 1
+                    sig = self._bin(SE.SigCoeffFlag, inc, sig)
+                    rem_ccbs -= 1
+                    if sig:
+                        infer_sb_sig = False
+                elif not self.enc:
+                    sig = 1 if (sb_coded and n == num_sb - 1
+                                and infer_sb_sig) else 0
+                sig_map[yc, xc] = sig
+                gt0 = par = 0
+                if sig:
+                    # context-coded sign (bool_coder.rs:2373)
+                    sgn = int(q[yc, xc] < 0) if self.enc else None
+                    sgn = self._bin(SE.CoeffSignFlag,
+                                    self._ts_sign_ctx(sign_lvl, xc, yc), sgn)
+                    rem_ccbs -= 1
+                    sign_map[yc, xc] = sgn
+                    sign_lvl[yc, xc] = -1 if sgn else 1
+                    lvl = remap_level(xc, yc) if self.enc else None
+                    gt0 = self._bin(SE.AbsLevelGtxFlag,
+                                    self._ts_gtx0_ctx(sig_map, xc, yc),
+                                    int(lvl > 1) if self.enc else None)
+                    rem_ccbs -= 1
+                    if gt0:
+                        par = self._bin(SE.ParLevelFlag, 32,
+                                        int(lvl > 1 and lvl % 2 == 1)
+                                        if self.enc else None)
+                        rem_ccbs -= 1
+                pass1[yc, xc] = sig + par + gt0
+                n += 1
+
+            # ---- pass 2: abs_level_gtx_flag j = 1..4
+            pass2_pos = -1
+            n = 0
+            while n < num_sb and rem_ccbs >= 4:
+                if n > pass1_pos:
+                    break
+                xc = x0 + int(sub[n][0])
+                yc = y0 + int(sub[n][1])
+                pass2[yc, xc] = pass1[yc, xc]
+                lvl = remap_level(xc, yc) if self.enc else None
+                gt_prev = bool(pass1[yc, xc] >= 2)   # gt0 was set
+                for j in range(1, 5):
+                    if not gt_prev:
+                        break
+                    gt_j = self._bin(SE.AbsLevelGtxFlag, 67 + j,
+                                     int(lvl > 2 * j + 1)
+                                     if self.enc else None)
+                    rem_ccbs -= 1
+                    pass2[yc, xc] += 2 * gt_j
+                    gt_prev = bool(gt_j)
+                pass2_pos = n
+                n += 1
+
+            # ---- pass 3: abs_remainder + trailing signs
+            for n in range(num_sb):
+                xc = x0 + int(sub[n][0])
+                yc = y0 + int(sub[n][1])
+                if self.enc:
+                    lvl = remap_level(xc, yc) if n <= pass1_pos \
+                        else abs(int(q[yc, xc]))
+                    if n <= pass2_pos:
+                        rem_v = (lvl - int(pass2[yc, xc])) // 2
+                    elif n <= pass1_pos:
+                        rem_v = (lvl - int(pass1[yc, xc])) // 2
+                    else:
+                        rem_v = lvl
+                    assert rem_v >= 0
+                else:
+                    rem_v = 0
+                emit_rem = ((n <= pass2_pos and pass2[yc, xc] >= 10)
+                            or (pass2_pos < n <= pass1_pos
+                                and pass1[yc, xc] >= 2)
+                            or (n > pass1_pos and sb_coded))
+                if emit_rem:
+                    # rice parameter is fixed 1 in TS mode
+                    # (bool_coder.rs:1405-1407)
+                    rem_v = self._code_rice_escape(
+                        1, rem_v if self.enc else None)
+                if n > pass2_pos and n > pass1_pos and rem_v > 0:
+                    sgn = int(q[yc, xc] < 0) if self.enc else None
+                    sgn = self._bin(SE.CoeffSignFlag,
+                                    self._ts_sign_ctx(sign_lvl, xc, yc), sgn)
+                    sign_map[yc, xc] = sgn
+                if not self.enc and sb_coded:
+                    if n <= pass2_pos:
+                        lvl = int(pass2[yc, xc]) + 2 * rem_v
+                    elif n <= pass1_pos:
+                        lvl = int(pass1[yc, xc]) + 2 * rem_v
+                    else:
+                        lvl = rem_v
+                    if lvl > 0:
+                        a = unmap_level(lvl, xc, yc) if n <= pass1_pos \
+                            else lvl
+                        q[yc, xc] = -a if sign_map[yc, xc] else a
+
+    @staticmethod
+    def _ts_sign_ctx(sign_lvl, xc, yc):
+        """coeff_sign_flag ctxInc in TS mode (bool_coder.rs:2373-2399),
+        no BDPCM."""
+        left = int(sign_lvl[yc, xc - 1]) if xc > 0 else 0
+        above = int(sign_lvl[yc - 1, xc]) if yc > 0 else 0
+        if (left == 0 and above == 0) or left == -above:
+            return 0
+        return 1 if (left >= 0 and above >= 0) else 2
+
+    @staticmethod
+    def _ts_gtx0_ctx(sig_map, xc, yc):
+        """abs_level_gtx_flag j=0 ctxInc in TS mode
+        (bool_coder.rs:2305-2320), no BDPCM."""
+        inc = 64
+        if xc > 0:
+            inc += int(sig_map[yc, xc - 1])
+        if yc > 0:
+            inc += int(sig_map[yc - 1, xc])
+        return inc
 
     # ------------------------------------------------ residual ctx helpers
     def _code_last_prefix_suffix(self, se_prefix, se_suffix, c_idx, log2_size,

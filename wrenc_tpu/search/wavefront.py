@@ -98,27 +98,60 @@ class WavefrontSearch:
     def encode_frame(self, planes):
         return self.encode_frames([planes])[0]
 
+    # fixed stage-A batch buckets: every frame batch is padded up to one of
+    # these, so the fused jit compiles at most once per bucket per geometry
+    # (a free-running F recompiles per batch size — the round-1 855 s
+    # QP22 eval point was exactly that)
+    BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
     def encode_frames(self, frames):
-        """Batched API: stage A for all frames in single device calls, then
-        per-frame tree assembly + commit. Returns [(trees, recon), ...]."""
+        """Chunked batched API: frames are processed in fixed-size stage-A
+        batches (padded to a bucket size). The device stage A of chunk k+1
+        is dispatched BEFORE the host passes of chunk k run (JAX dispatch
+        is asynchronous), so the TPU computes under the host commit.
+        Returns [(trees, recon), ...]."""
+        self.phase_times = {}
+        out = []
+        max_b = self.BATCH_BUCKETS[-1]
+        chunks = [frames[i:i + max_b] for i in range(0, len(frames), max_b)]
+        pending = self._dispatch_stage_a(chunks[0])
+        for k, chunk in enumerate(chunks):
+            nxt = (self._dispatch_stage_a(chunks[k + 1])
+                   if k + 1 < len(chunks) else None)
+            out.extend(self._finish_chunk(chunk, pending))
+            pending = nxt
+        return out
+
+    def _bucket(self, n):
+        for b in self.BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return self.BATCH_BUCKETS[-1]
+
+    def _phase(self, name, dt):
+        self.phase_times[name] = self.phase_times.get(name, 0.0) + dt
+
+    def _dispatch_stage_a(self, frames):
+        """Dispatch the fused luma stage A for one chunk; does NOT block.
+        Returns (batch, sizes, device result tree)."""
+        import time as _time
         cfg = self.cfg
-        self.batch = [[np.asarray(p, dtype=np.int32) for p in planes]
-                      for planes in frames]
-        F = len(self.batch)
+        batch = [[np.asarray(p, dtype=np.int32) for p in planes]
+                 for planes in frames]
+        F = len(batch)
+        Fpad = self._bucket(F)
+        padded = batch + [batch[-1]] * (Fpad - F) if Fpad > F else batch
         sizes = [1 << (cfg.log2_ctu_size - d)
                  for d in range(cfg.max_split_depth, -1, -1)]
-        luma_mode_b = {}
-        luma_cost_b = {}
-        luma_cands_b = {}
-        planes_y = np.stack([b[0] for b in self.batch])
-        pad = 0
+        planes_y = np.stack([b[0] for b in padded])
         if self.mesh is not None:
             nf = self.mesh.shape.get('frame', 1)
-            pad = (-F) % nf
+            pad = (-len(planes_y)) % nf
             if pad:
                 planes_y = np.concatenate(
                     [planes_y, np.repeat(planes_y[-1:], pad, axis=0)])
-        fused = self._fused_luma(F + pad, tuple(sizes))
+        t0 = _time.perf_counter()
+        fused = self._fused_luma(len(planes_y), tuple(sizes))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             dev = jax.device_put(
@@ -126,23 +159,49 @@ class WavefrontSearch:
         else:
             dev = jnp.asarray(planes_y)
         res = fused(dev)
+        self._phase('device_dispatch', _time.perf_counter() - t0)
+        return batch, sizes, res
+
+    def _finish_chunk(self, frames, dispatched):
+        """Block on a dispatched stage A, then run the host passes."""
+        import time as _time
+        cfg = self.cfg
+        self.batch, sizes, res = dispatched
+        F = len(self.batch)
+        luma_mode_b = {}
+        luma_cost_b = {}
+        luma_cands_b = {}
+        t0 = _time.perf_counter()
+        res = jax.tree_util.tree_map(np.asarray, res)   # block until done
+        self._phase('device_stage_a', _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        luma_cand_cost_b = {}
         for s in sizes:
             cands, base = res[s]
-            luma_mode_b[s], luma_cost_b[s], luma_cands_b[s] = \
-                self._select_modes(s, np.asarray(cands)[:F],
-                                   np.asarray(base)[:F])
+            (luma_mode_b[s], luma_cost_b[s], luma_cands_b[s],
+             luma_cand_cost_b[s]) = self._select_modes(s, cands[:F],
+                                                       base[:F])
+        self._phase('host_select', _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         chroma_cache = {}
         self._prefill_chroma_cache(chroma_cache, luma_mode_b, sizes, F)
+        self._phase('host_chroma_rd', _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         all_trees = []
         for fi in range(F):
             self.orig = self.batch[fi]
             self.luma_cands = {s: luma_cands_b[s][fi] for s in sizes}
+            self.luma_cand_costs = {s: luma_cand_cost_b[s][fi]
+                                    for s in sizes}
             trees = self._decide_and_commit(
                 {s: luma_mode_b[s][fi] for s in sizes},
                 {s: luma_cost_b[s][fi] for s in sizes},
                 sizes, fi, luma_mode_b, chroma_cache)
             all_trees.append(trees)
+        self._phase('host_decide', _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         recons = self._commit_all(all_trees)
+        self._phase('host_commit', _time.perf_counter() - t0)
         return list(zip(all_trees, recons))
 
     def _commit_all(self, all_trees):
@@ -317,7 +376,9 @@ class WavefrontSearch:
         # candidate list for commit-time re-decision, ranked by stage-A cost
         order = np.argsort(total, axis=2)
         ranked = np.take_along_axis(cands, order, axis=2)
-        return mode.astype(np.int64), cost, ranked.astype(np.int32)
+        ranked_cost = np.take_along_axis(total, order, axis=2)
+        return (mode.astype(np.int64), cost, ranked.astype(np.int32),
+                ranked_cost)
 
     def _prefill_chroma_cache(self, cache, luma_mode_b, sizes, F):
         """Compute all chroma stage-A costs in one native host call
@@ -479,6 +540,16 @@ class WavefrontSearch:
                         chroma_mode=(cmode if tree == 'S' else 0))
         if self.rd_commit:
             cl = [int(c) for c in self.luma_cands[s][idx]]
+            # commit-time re-decision pruning: when stage A's winner beats
+            # the runner-up by a wide relative margin, re-ranking on the
+            # true reconstruction almost never changes the pick — encode
+            # the winner directly (skips the whole candidate loop)
+            cc = self.luma_cand_costs[s][idx]
+            prune = getattr(self.rm, 'rd_commit_prune_margin', 0.0)
+            if (prune > 0 and len(cc) > 1
+                    and cc[1] - cc[0] > prune * max(abs(cc[0]), 1.0)):
+                cu.cands = cl[:1]
+                return cu
             # probe +-1 around the best angular, the reference step
             # search's final refinement (block_splitter.rs:905-974)
             best_ang = next((c for c in cl if c >= 2), None)

@@ -171,6 +171,26 @@ class ScalarEncoder:
         min_cost = cand_costs[best_idx]
         # final luma re-encode with trellis, committing reconstruction
         self._encode_component(cu, 0, mode, trellis=True, write=True)
+        # optional transform-skip decision for the winner (RD compare of
+        # the TS encode vs the DCT-II encode; sizes <= max_ts)
+        if (getattr(self.cfg, 'transform_skip_search', False)
+                and self.cfg.transform_skip_enabled
+                and (1 << cu.log2)
+                <= (1 << self.cfg.log2_transform_skip_max_size)):
+            ssd_dct = int(((self.recon[0][cu.y:cu.y + (1 << cu.log2),
+                                          cu.x:cu.x + (1 << cu.log2)]
+                            - self.orig[0][cu.y:cu.y + (1 << cu.log2),
+                                           cu.x:cu.x + (1 << cu.log2)])
+                           .astype(np.int64) ** 2).sum())
+            rate_dct = self._level_rate(cu.coeffs[0], cu.log2, True)
+            ssd_ts, q_ts = self._encode_component(cu, 0, mode, trellis=True,
+                                                  ts=True)
+            rate_ts = self._level_rate(q_ts, cu.log2, True)
+            lam = self._lam(True)
+            if (ssd_ts + lam * rate_ts / 16384.0
+                    < ssd_dct + lam * rate_dct / 16384.0) and (q_ts != 0).any():
+                self._encode_component(cu, 0, mode, trellis=True, write=True,
+                                       ts=True)
         cu.luma_mode = mode
         self._set_mode_map(cu)
 
@@ -276,11 +296,17 @@ class ScalarEncoder:
                                    (cu.x, cu.y), (size, size), self.avail,
                                    c_idx, mode)
 
-    def _encode_component(self, cu, c_idx, mode, trellis, write=False):
+    def _encode_component(self, cu, c_idx, mode, trellis, write=False,
+                          ts=None):
         """predict->transform->quant->dequant->inverse->reconstruct.
 
         Returns (ssd, q). If write: commits reconstruction + stores coeffs.
+        ts=True uses the transform-skip path (spec 8.7.2: no transform,
+        bd_shift 10, no dependent quantization); ts=None inherits the CU's
+        already-decided per-component flag.
         """
+        if ts is None:
+            ts = bool(cu.ts[c_idx])
         cfg = self.cfg
         size = 1 << cu.log2
         sh = 0 if c_idx == 0 else 1
@@ -290,25 +316,31 @@ class ScalarEncoder:
         pred = self._predict(cu, c_idx, mode)
         org = self.orig[c_idx][y:y + cs, x:x + cs]
         res = org - pred
-        t = transform.forward(res, 0, 0, cfg.bit_depth)
         qp_y = cfg.qp
         qp_c = quant.chroma_qp_from_luma(qp_y)
         qp = qp_y if c_idx == 0 else qp_c
         qpar = quant.derive_quant_params(qp, log2, log2,
                                          dep_quant=cfg.dep_quant_enabled,
-                                         transform_skip=False,
+                                         transform_skip=ts,
                                          bit_depth=cfg.bit_depth)
-        if cfg.dep_quant_enabled:
-            q = self.dq.quantize(t, qp_y, qpar, trellis=trellis)
+        if ts:
+            q = quant.quantize_rdoq_off(res, qpar)
+            d = quant.dequantize(q, qpar)
+            rec = np.clip(pred + d, 0, 255)
         else:
-            q = quant.quantize_rdoq_off(t, qpar)
-        d = quant.dequantize(q, qpar)
-        r = transform.inverse(d, 0, 0, cfg.bit_depth)
-        rec = np.clip(pred + r, 0, 255)
+            t = transform.forward(res, 0, 0, cfg.bit_depth)
+            if cfg.dep_quant_enabled:
+                q = self.dq.quantize(t, qp_y, qpar, trellis=trellis)
+            else:
+                q = quant.quantize_rdoq_off(t, qpar)
+            d = quant.dequantize(q, qpar)
+            r = transform.inverse(d, 0, 0, cfg.bit_depth)
+            rec = np.clip(pred + r, 0, 255)
         ssd = int(((rec - org).astype(np.int64) ** 2).sum())
         if write:
             self.recon[c_idx][y:y + cs, x:x + cs] = rec
             cu.coeffs[c_idx] = q.astype(np.int16)
+            cu.ts[c_idx] = 1 if ts else 0
         return ssd, q
 
     def _aux_cost(self, cu, luma_mode, chroma_mode):

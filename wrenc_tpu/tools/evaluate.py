@@ -98,7 +98,7 @@ def frame_ssim_avg(ref, rec):
     return out
 
 
-def run_point(frames, qp, max_split_depth, batch, verify=True):
+def run_point(frames, qp, max_split_depth, verify=True):
     """Encode one RD point; return (bytes, psnr_summary, ssim_summary,
     duration_s)."""
     from ..core.config import EncoderConfig
@@ -140,7 +140,6 @@ def main(argv=None):
     ap.add_argument("--qps", default="22,27,32,37")
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--max-split-depth", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="results/summary.json")
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--per-frame", action="store_true",
@@ -160,7 +159,7 @@ def main(argv=None):
         vres = []
         for qp in qps:
             nbytes, psum, ssum, dt, ps, ss = run_point(
-                frames, qp, args.max_split_depth, args.batch,
+                frames, qp, args.max_split_depth,
                 verify=not args.no_verify)
             rec = {
                 "title": f"{os.path.splitext(video)[0]}"
