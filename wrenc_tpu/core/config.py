@@ -36,6 +36,11 @@ class RateModelConfig:
     # commit-time mode re-decision is skipped (winner encoded directly)
     # when stage A's top-2 relative margin exceeds this (0 disables)
     rd_commit_prune_margin: float = 0.25
+    # re-decide chroma (derived vs CCLM) at commit time on the true
+    # reconstruction; 0 trusts stage A's pick (cheaper)
+    commit_chroma_redecide: float = 1.0
+    # stage-A angular full-RD candidates on top of PLANAR/DC
+    stage_a_num_rd_cands: int = 4
     # mode-bits model
     non_planar_offset: float = 2.4951231
     non_planar_offset_dq: float = 2.6002965

@@ -296,7 +296,8 @@ def _rd_consts(cfg, with_headers=False):
     ]
     if with_headers:
         vals += [rm.pick('header_bits', dep, True),
-                 rm.pick('chroma_header_bits', dep, True)]
+                 rm.pick('chroma_header_bits', dep, True),
+                 float(getattr(rm, 'commit_chroma_redecide', 1.0))]
     return np.array(vals, dtype=np.float64)
 
 
@@ -329,28 +330,16 @@ def commit_frames_tree_native(cfg, origs, all_trees, ls_tab, bd_tab, lam_dq,
     dec_count = [0]
     cu_objs = []
     meta = []
-    n_cand = 1
-    for trees in all_trees:
-        def scan_k(n):
-            nonlocal n_cand
-            if n.cu is not None and getattr(n.cu, 'cands', None):
-                n_cand = max(n_cand, len(n.cu.cands))
-            ac = getattr(n, 'alt_cu', None)
-            if ac is not None and getattr(ac, 'cands', None):
-                n_cand = max(n_cand, len(ac.cands))
-            for ch in n.children:
-                scan_k(ch)
-        for t in trees:
-            scan_k(t)
-    cands = []
+    cand_rows = []
 
     def add_cu(cu):
         idx = len(cu_objs)
         cu_objs.append(cu)
         meta.extend([cu.x, cu.y, cu.log2, _TREE_ID[cu.tree],
                      cu.luma_mode, cu.chroma_mode])
-        cl = list(getattr(cu, 'cands', None) or [cu.luma_mode])
-        cands.extend(cl + [-1] * (n_cand - len(cl)))
+        cl = getattr(cu, 'cands', None)
+        cand_rows.append(cl if cl is not None and len(cl)
+                         else (cu.luma_mode,))
         return idx
 
     ndec = 0
@@ -374,24 +363,33 @@ def commit_frames_tree_native(cfg, origs, all_trees, ls_tab, bd_tab, lam_dq,
         node_off.append(len(nodes))
         dec_count.append(ndec)
 
-    coeff_off = []
-    total = 0
-    for cu in cu_objs:
-        for c in range(3):
-            has = (c == 0 and cu.tree != 'C') or (c > 0 and cu.tree != 'L')
-            if has:
-                sz = (1 << (cu.log2 - (0 if c == 0 else 1))) ** 2
-                coeff_off.append(total)
-                total += sz
-            else:
-                coeff_off.append(-1)
+    lens = np.fromiter((len(r) for r in cand_rows), dtype=np.int64,
+                       count=len(cand_rows))
+    n_cand = int(lens.max()) if len(lens) else 1
+    if (lens == n_cand).all():
+        cands = np.ascontiguousarray(np.stack(cand_rows), dtype=np.int32) \
+            if len(cand_rows) else np.zeros((0, 1), np.int32)
+    else:
+        cands = np.full((len(cand_rows), n_cand), -1, dtype=np.int32)
+        for i, r in enumerate(cand_rows):
+            cands[i, :len(r)] = r
+
+    # per-CU coefficient buffer offsets (vectorised)
+    meta = np.array(meta, dtype=np.int32).reshape(-1, 6)
+    tree_id = meta[:, 3]
+    log2s = meta[:, 2].astype(np.int64)
+    sizes3 = np.stack([
+        np.where(tree_id != 2, (1 << log2s) ** 2, 0),       # luma
+        np.where(tree_id != 1, (1 << (log2s - 1)) ** 2, 0),  # cb
+        np.where(tree_id != 1, (1 << (log2s - 1)) ** 2, 0),  # cr
+    ], axis=1).reshape(-1)
+    ends = np.cumsum(sizes3)
+    coeff_off = np.where(sizes3 > 0, ends - sizes3, -1).astype(np.int64)
+    total = int(ends[-1]) if len(ends) else 0
 
     nodes = np.array(nodes, dtype=np.int32)
     node_off = np.array(node_off, dtype=np.int64)
     dec_off = np.array(dec_count, dtype=np.int64)
-    meta = np.array(meta, dtype=np.int32)
-    cands = np.array(cands, dtype=np.int32)
-    coeff_off = np.array(coeff_off, dtype=np.int64)
     coeffs = np.zeros(max(total, 1), dtype=np.int16)
     modes_out = np.zeros(max(len(cu_objs), 1) * 2, dtype=np.int32)
     decisions = np.zeros(max(ndec, 1), dtype=np.int8)

@@ -1566,6 +1566,7 @@ struct RdConsts {
   double cclm_offset, cclm_mode_idx_offset, cclm_pow, non_cclm_offset;
   int cclm_enabled, dep_quant;
   double hb, chb;  // header_bits / chroma_header_bits (trellis variants)
+  int chroma_redecide = 1;  // 0: trust the stage-A chroma pick
 };
 
 // optional commit profiling (WRENC_COMMIT_PROF=1): accumulated seconds per
@@ -1817,7 +1818,7 @@ struct RdCommitter {
   // the tree walk adds lam*hb / lam*hb/3 / lam*chb by tree type).
   double commit_cu(int x, int y, int log2, int tree, const int32_t* cands,
                  int n_cand, int16_t* coeff_y, int16_t* coeff_cb,
-                 int16_t* coeff_cr, int32_t* modes_out) {
+                 int16_t* coeff_cr, int32_t* modes_out, int sa_chroma) {
     int size = 1 << log2;
     int luma_mode = 0;
     double luma_cost = 0.0;
@@ -1898,6 +1899,21 @@ struct RdCommitter {
     }
     int16_t qcb[16 * 16], qcr[16 * 16];
     int32_t rcb[16 * 16], rcr[16 * 16];
+    if (rd->cclm_enabled && !rd->chroma_redecide) {
+      // trust stage A's derived-vs-CCLM pick; encode only that mode
+      int cm = sa_chroma >= 81 ? sa_chroma : derived;
+      double mb = cm >= 81
+                      ? rd->cclm_offset +
+                            std::pow(cm - 81 + rd->cclm_mode_idx_offset,
+                                     rd->cclm_pow)
+                      : rd->non_cclm_offset;
+      double cost = chroma_cost(x, y, log2, cm, mb, qcb, rcb, qcr, rcr);
+      write_comp(1, x, y, log2, rcb, qcb, coeff_cb);
+      write_comp(2, x, y, log2, rcr, qcr, coeff_cr);
+      modes_out[1] = cm;
+      if (prof) g_commit_prof.chroma_us.fetch_add(now_us() - tc0);
+      return luma_cost + cost;
+    }
     double mbd = rd->cclm_enabled ? rd->non_cclm_offset : 0.0;
     double cost_d =
         chroma_cost(x, y, log2, derived, mbd, qcb, rcb, qcr, rcr);
@@ -2008,7 +2024,7 @@ struct RdCommitter {
                      co[0] >= 0 ? t.coeffs + co[0] : nullptr,
                      co[1] >= 0 ? t.coeffs + co[1] : nullptr,
                      co[2] >= 0 ? t.coeffs + co[2] : nullptr,
-                     t.modes_out + (int64_t)idx * 2);
+                     t.modes_out + (int64_t)idx * 2, m[5]);
   }
 
   double header_cost(int tree) const {
@@ -2103,6 +2119,7 @@ extern "C" void wrenc_commit_frames_tree(
   rc.non_cclm_offset = rd_consts[11];
   rc.hb = rd_consts[12];
   rc.chb = rd_consts[13];
+  rc.chroma_redecide = rd_consts[14] != 0.0;
   rc.cclm_enabled = cclm_enabled;
   rc.dep_quant = dep_quant;
 

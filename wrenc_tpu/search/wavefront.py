@@ -36,8 +36,6 @@ import functools
 
 
 class WavefrontSearch:
-    NUM_RD_CANDS = 4  # angular full-RD candidates on top of PLANAR/DC
-
     def __init__(self, cfg, trellis_commit=True, mesh=None, rd_commit=True):
         """mesh: optional jax.sharding.Mesh with a 'frame' axis — the frame
         batch of stage A is sharded across it (all-intra frames are
@@ -101,8 +99,10 @@ class WavefrontSearch:
     # fixed stage-A batch buckets: every frame batch is padded up to one of
     # these, so the fused jit compiles at most once per bucket per geometry
     # (a free-running F recompiles per batch size — the round-1 855 s
-    # QP22 eval point was exactly that)
-    BATCH_BUCKETS = (1, 2, 4, 8, 16)
+    # QP22 eval point was exactly that). The 8-frame cap also makes the
+    # chunk pipeline effective: chunk k+1's device stage A overlaps chunk
+    # k's host commit.
+    BATCH_BUCKETS = (1, 2, 4, 8)
 
     def encode_frames(self, frames):
         """Chunked batched API: frames are processed in fixed-size stage-A
@@ -245,6 +245,8 @@ class WavefrontSearch:
         cfg = self.cfg
         W, H = cfg.width, cfg.height
         dep = cfg.dep_quant_enabled
+        if self.rd_commit:
+            self._prep_cand_matrices(sizes)
 
         # chroma costs with derived modes (batched across frames, cached)
         hb = self.rm.pick('header_bits', dep, True)
@@ -323,7 +325,9 @@ class WavefrontSearch:
         arguments, so changing QP does NOT recompile."""
         cfg = self.cfg
         run = _fused_luma_builder(cfg.width, cfg.height, cfg.log2_ctu_size,
-                                  sizes, F, self.NUM_RD_CANDS)
+                                  sizes, F,
+                                  int(getattr(self.rm, 'stage_a_num_rd_cands',
+                                              4)))
         ls = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].ls)
               for s in sizes}
         bd = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].bd_shift)
@@ -528,6 +532,35 @@ class WavefrontSearch:
                                               0, 'S', 'ALL'))
         return trees
 
+    def _prep_cand_matrices(self, sizes):
+        """Vectorised commit candidate lists per size: ranked stage-A
+        candidates + the +-1 probes around the best angular (the reference
+        step search's final refinement, block_splitter.rs:905-974), with
+        confident blocks pruned to the winner alone. -1 pads. Replaces a
+        per-leaf Python loop that dominated host_decide."""
+        self.cand_mat = {}
+        prune = getattr(self.rm, 'rd_commit_prune_margin', 0.0)
+        for s in sizes:
+            cands = np.asarray(self.luma_cands[s])        # (N, K) ranked
+            costs = np.asarray(self.luma_cand_costs[s])
+            N, K = cands.shape
+            out = np.full((N, K + 2), -1, np.int32)
+            out[:, :K] = cands
+            has_ang = cands >= 2
+            first = np.argmax(has_ang, axis=1)
+            ang = cands[np.arange(N), first]
+            valid = has_ang.any(axis=1)
+            for d, col in ((-1, K), (1, K + 1)):
+                nb = ang + d
+                ok = (valid & (nb >= 2) & (nb <= 66)
+                      & ~(cands == nb[:, None]).any(axis=1))
+                out[ok, col] = nb[ok]
+            if prune > 0 and K > 1:
+                pr = (costs[:, 1] - costs[:, 0]
+                      > prune * np.maximum(np.abs(costs[:, 0]), 1.0))
+                out[pr, 1:] = -1
+            self.cand_mat[s] = out
+
     def _make_leaf_cu(self, x, y, log2, tree, s):
         idx = (y // s) * (self.cfg.width // s) + x // s
         m = int(self.luma_mode[s][idx])
@@ -539,26 +572,7 @@ class WavefrontSearch:
         cu = CuDecision(x, y, log2, tree, luma_mode=m,
                         chroma_mode=(cmode if tree == 'S' else 0))
         if self.rd_commit:
-            cl = [int(c) for c in self.luma_cands[s][idx]]
-            # commit-time re-decision pruning: when stage A's winner beats
-            # the runner-up by a wide relative margin, re-ranking on the
-            # true reconstruction almost never changes the pick — encode
-            # the winner directly (skips the whole candidate loop)
-            cc = self.luma_cand_costs[s][idx]
-            prune = getattr(self.rm, 'rd_commit_prune_margin', 0.0)
-            if (prune > 0 and len(cc) > 1
-                    and cc[1] - cc[0] > prune * max(abs(cc[0]), 1.0)):
-                cu.cands = cl[:1]
-                return cu
-            # probe +-1 around the best angular, the reference step
-            # search's final refinement (block_splitter.rs:905-974)
-            best_ang = next((c for c in cl if c >= 2), None)
-            if best_ang is not None:
-                for d in (-1, 1):
-                    n = best_ang + d
-                    if 2 <= n <= 66 and n not in cl:
-                        cl.append(n)
-            cu.cands = cl
+            cu.cands = self.cand_mat[s][idx]   # fixed-width row, -1 padded
         return cu
 
     def _build_node(self, x, y, log2, cqt_depth, tree, mode_type):

@@ -76,3 +76,99 @@ def inverse(coeffs, tr_type_hor=0, tr_type_ver=0, bit_depth=8):
     bd_shift = 20 - bit_depth
     r = (r + (1 << (bd_shift - 1))) >> bd_shift
     return r.astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# LFNST (low-frequency non-separable transform, spec 8.7.4.2/8.7.4.3;
+# matrices transformer.rs:11-933, set selection :1929-1946, forward apply
+# :2319-2366, inverse apply :2410-2470). Disabled in the default tool set
+# (sps_lfnst_enabled=0, matching the reference); shipped for capability
+# parity and exercised by golden tests.
+# ---------------------------------------------------------------------------
+
+def lfnst_set_index(pred_mode_intra):
+    """LFNST transform-set from the (wide-angle-remapped) intra mode."""
+    m = pred_mode_intra
+    if m < 0:
+        return 1
+    if m <= 1:
+        return 0
+    if m <= 12:
+        return 1
+    if m <= 23:
+        return 2
+    if m <= 44:
+        return 3
+    if m <= 55:
+        return 2
+    return 1
+
+
+def _lfnst_geometry(tw, th):
+    """(region size n, nTrS, nonZeroSize) for an LFNST-eligible TB."""
+    big = tw >= 8 and th >= 8
+    n = 8 if big else 4
+    n_tr_s = 48 if big else 16
+    nz = 8 if ((tw == 4 and th == 4) or (tw == 8 and th == 8)) else 16
+    return n, n_tr_s, nz
+
+
+def _lfnst_region_indices(n, n_tr_s, transposed):
+    """(ys, xs) gather order of the nTrS-sample low-frequency region:
+    row-major over the top 4 rows (full n wide), then the left 4 columns
+    of rows 4..n (transformer.rs:2352-2365; transposed swaps x/y)."""
+    ys, xs = [], []
+    for i in range(n_tr_s):
+        if i < 4 * n:
+            y, x = i // n, i % n
+        else:
+            k = i - 32
+            y, x = 4 + k // 4, k % 4
+        if transposed:
+            y, x = x, y
+        ys.append(y)
+        xs.append(x)
+    return np.array(ys), np.array(xs)
+
+
+def forward_lfnst(coeffs, pred_mode_intra, lfnst_idx):
+    """Apply the forward LFNST to separable-transform output `coeffs`.
+
+    Returns a new (th, tw) int32 array: nonZeroSize secondary coefficients
+    in the top-left 4x4 diagonal scan, everything else zero."""
+    assert lfnst_idx in (1, 2)
+    th, tw = coeffs.shape
+    n, n_tr_s, nz = _lfnst_geometry(tw, th)
+    transposed = pred_mode_intra > 34
+    ys, xs = _lfnst_region_indices(n, n_tr_s, transposed)
+    v = np.asarray(coeffs, dtype=np.int64)[ys, xs]          # (nTrS,)
+    m = tables.lfnst_matrix(n_tr_s, lfnst_set_index(pred_mode_intra),
+                            lfnst_idx).astype(np.int64)     # (16, nTrS)
+    u = (m @ v + 64) >> 7                                   # (16,)
+    out = np.zeros((th, tw), dtype=np.int32)
+    scan = tables.diag_scan(2, 2)
+    for i in range(nz):
+        x, y = int(scan[i][0]), int(scan[i][1])
+        out[y, x] = u[i]
+    return out
+
+
+def inverse_lfnst(coeffs, pred_mode_intra, lfnst_idx):
+    """Invert the LFNST on dequantized coefficients before the separable
+    inverse transform (spec 8.7.4.2: v = clip((M^T u + 64) >> 7))."""
+    assert lfnst_idx in (1, 2)
+    th, tw = coeffs.shape
+    n, n_tr_s, nz = _lfnst_geometry(tw, th)
+    transposed = pred_mode_intra > 34
+    scan = tables.diag_scan(2, 2)
+    u = np.array([coeffs[int(scan[i][1]), int(scan[i][0])]
+                  for i in range(nz)], dtype=np.int64)
+    m = tables.lfnst_matrix(n_tr_s, lfnst_set_index(pred_mode_intra),
+                            lfnst_idx).astype(np.int64)     # (16, nTrS)
+    v = np.clip((m[:nz].T @ u + 64) >> 7, COEFF_MIN, COEFF_MAX)  # (nTrS,)
+    out = np.array(coeffs, dtype=np.int32, copy=True)
+    ys, xs = _lfnst_region_indices(n, n_tr_s, transposed)
+    # region is overwritten; remaining positions keep their coefficients
+    # (zero in a legal stream: LFNST implies the zero-out condition)
+    out[ys, xs] = v
+    return out
