@@ -402,6 +402,9 @@ def write_sh(w, cfg, slice_qp, entry_lens=None):
     w.bit(0)                     # sh_picture_header_in_slice_header_flag
     w.bit(0)                     # sh_no_output_of_prior_pics_flag
     w.se(slice_qp - init_qp)     # sh_qp_delta
+    if cfg.sao_enabled:          # slice_encoder.rs:232-239
+        w.bit(1)                 # sh_sao_luma_used_flag
+        w.bit(1)                 # sh_sao_chroma_used_flag
     if cfg.dep_quant_enabled:
         w.bit(1)                 # sh_dep_quant_used_flag
     if cfg.sign_data_hiding_enabled and not cfg.dep_quant_enabled:
@@ -425,6 +428,10 @@ def parse_sh(r, p):
     r.bit()                      # no_output_of_prior_pics
     qp_delta = r.se()
     p.slice_qp = p.init_qp + qp_delta
+    p.sao_luma_used = p.sao_chroma_used = False
+    if p.sao_enabled:
+        p.sao_luma_used = bool(r.bit())
+        p.sao_chroma_used = bool(r.bit())
     if p.dep_quant_enabled:
         p.dep_quant_used = bool(r.bit())
     else:

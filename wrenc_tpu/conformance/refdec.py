@@ -270,7 +270,6 @@ def parse_sps(rbsp, ps):
             for _ in range(b.ue() + 1):
                 b.ue(); b.ue()
     ps.sao_enabled = bool(b.u(1))
-    _expect(not ps.sao_enabled, "SAO unsupported")
     _expect(b.u(1) == 0, "ALF unsupported")
     _expect(b.u(1) == 0, "LMCS unsupported")
     b.u(1); b.u(1)                           # weighted pred / bipred
@@ -419,6 +418,10 @@ def parse_sh(b, ps):
     if ps.idr_rpl_present:
         raise ConformanceError("IDR RPL unsupported")
     ps.slice_qp = ps.init_qp + b.se()        # sh.qp_delta
+    ps.sao_luma_used = ps.sao_chroma_used = False
+    if ps.sao_enabled:                        # slice_encoder.rs:232-239
+        ps.sao_luma_used = bool(b.u(1))
+        ps.sao_chroma_used = bool(b.u(1))
     ps.dep_quant_used = bool(b.u(1)) if ps.dep_quant_enabled else False
     ps.sdh_used = False
     if ps.sdh_enabled and not ps.dep_quant_used:
@@ -450,6 +453,7 @@ with open(os.path.join(_DATA, "cabac_init.json")) as _f:
 
 # syntax-element ids matching the reference CabacContext enum
 # (cabac_contexts.rs:16-128); used only to index the Table-51 json data
+SAO_MERGE, SAO_TYPE_LUMA, SAO_TYPE_CHROMA = 7, 9, 10
 SPLIT_CU, MPM_FLAG, NOT_PLANAR = 16, 34, 35
 CCLM_FLAG, CCLM_IDX, CHROMA_MODE = 40, 41, 42
 MTS_IDX = 67
@@ -662,7 +666,63 @@ class SliceDecoder:
     # ------------------------------------------------------------------ CTU
     def ctu(self, x, y):
         self.qp_delta_pending = True
+        if (getattr(self.ps, 'sao_luma_used', False)
+                or getattr(self.ps, 'sao_chroma_used', False)):
+            self.parse_sao(x >> self.ps.log2_ctu_size,
+                           y >> self.ps.log2_ctu_size)
         self.tree(x, y, self.ps.log2_ctu_size, tree='S')
+
+    def parse_sao(self, rx, ry):
+        """SAO parameters (spec 7.3.11.3; ctu_encoder.rs:2611-2730). The
+        filter is not applied (the encoder under test emits parameters but
+        never filters, matching the reference's syntax-only SAO)."""
+        a = self.a
+        ps = self.ps
+        if not hasattr(self, 'sao_store'):
+            self.sao_store = {}
+        params = {"type": [0, 0], "abs": [[0] * 4 for _ in range(3)],
+                  "sign": [[0] * 4 for _ in range(3)], "band": [0, 0, 0],
+                  "eo": [0, 0]}
+        merge_left = merge_up = 0
+        if rx > 0:
+            merge_left = a.bin(SAO_MERGE, 0, "sao_merge_left_flag")
+        if ry > 0 and not merge_left:
+            merge_up = a.bin(SAO_MERGE, 0, "sao_merge_up_flag")
+        if merge_left or merge_up:
+            self.sao_store[(rx, ry)] = self.sao_store[
+                (rx - 1, ry) if merge_left else (rx, ry - 1)]
+            return
+        n_comp = 3 if ps.chroma_format != 0 else 1
+        for c in range(n_comp):
+            if not ((ps.sao_luma_used and c == 0)
+                    or (ps.sao_chroma_used and c > 0)):
+                continue
+            if c in (0, 1):
+                se = SAO_TYPE_LUMA if c == 0 else SAO_TYPE_CHROMA
+                t = 0
+                if a.bin(se, 0, "sao_type_idx"):
+                    t = 2 if a.bypass("sao_type_idx") else 1
+                params["type"][0 if c == 0 else 1] = t
+            t = params["type"][0 if c == 0 else 1]
+            if t:
+                for i in range(4):
+                    v = 0
+                    while v < 7 and a.bypass("sao_offset_abs"):
+                        v += 1
+                    params["abs"][c][i] = v
+                if t == 1:
+                    for i in range(4):
+                        if params["abs"][c][i]:
+                            params["sign"][c][i] = a.bypass("sao_sign")
+                    bp = 0
+                    for _ in range(5):
+                        bp = (bp << 1) | a.bypass("sao_band_position")
+                    params["band"][c] = bp
+                elif c in (0, 1):
+                    params["eo"][0 if c == 0 else 1] = \
+                        (a.bypass("sao_eo_class") << 1) | \
+                        a.bypass("sao_eo_class")
+        self.sao_store[(rx, ry)] = params
 
     def tree(self, x, y, log2, tree):
         size = 1 << log2

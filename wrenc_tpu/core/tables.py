@@ -163,6 +163,10 @@ class SE:
     Numbering matches the reference's CabacContext enum (cabac_contexts.rs:16)
     so the extracted Table-51 data indexes directly.
     """
+    AlfSaoMergeLeftFlag = 7
+    AlfSaoMergeUpFlag = 8
+    AlfSaoTypeIdxLuma = 9
+    AlfSaoTypeIdxChroma = 10
     SplitCuFlag = 16
     SplitQtFlag = 17
     MttSplitCuVerticalFlag = 18

@@ -47,7 +47,8 @@ class Decoder:
         r = BitReader(rbsp)
         parse_sh(r, p)
         W, H = p.width, p.height
-        if self.use_native:
+        if self.use_native and not getattr(p, 'sao_luma_used', False) \
+                and not getattr(p, 'sao_chroma_used', False):
             from ..entropy import native
             if native.decode_supported():
                 res = native.decode_slice_native(

@@ -61,8 +61,9 @@ class Encoder:
             w = BitWriter()
             write_sh(w, cfg, cfg.qp)
             # the native slice coder handles the production decision set;
-            # transform-skip CUs go through the Python syntax layer
-            if self.use_native and not cfg.transform_skip_search:
+            # transform-skip / SAO streams go through the Python syntax layer
+            if (self.use_native and not cfg.transform_skip_search
+                    and not cfg.sao_enabled):
                 from .entropy import native
                 return w.bytes() + native.encode_slice_native(cfg, trees,
                                                               cfg.qp)
@@ -86,7 +87,8 @@ class Encoder:
         offset (slice_encoder.rs:302-333,380-411; bool_coder.rs:1096-1104).
         """
         cfg = self.cfg
-        if self.use_native:
+        if self.use_native and not cfg.transform_skip_search \
+                and not cfg.sao_enabled:
             from .entropy import native
             if native.wpp_supported():
                 lens, data = native.encode_slice_wpp_native(cfg, trees,

@@ -28,6 +28,23 @@ class CuDecision:
 
 
 @dataclass
+class CtuSao:
+    """Per-CTU SAO parameters (ctu.rs:84-135; syntax ctu_encoder.rs:2611).
+
+    type_idx / eo_class are [luma, chroma] (cb and cr share them);
+    offsets and band_position are per component."""
+    merge_left: int = 0
+    merge_up: int = 0
+    type_idx: list = field(default_factory=lambda: [0, 0])
+    offset_abs: list = field(
+        default_factory=lambda: [[0] * 4 for _ in range(3)])
+    offset_sign: list = field(
+        default_factory=lambda: [[0] * 4 for _ in range(3)])
+    band_position: list = field(default_factory=lambda: [0, 0, 0])
+    eo_class: list = field(default_factory=lambda: [0, 0])
+
+
+@dataclass
 class CtNode:
     x: int
     y: int
@@ -42,6 +59,9 @@ class CtNode:
     # and the split children on the true reconstruction, keep the cheaper
     refine: bool = False
     alt_cu: CuDecision = None
+    # per-CTU SAO parameters (only meaningful on CTU-root nodes and only
+    # when SAO is signalled; None codes as type 0 = off)
+    sao: CtuSao = None
 
     @property
     def size(self):

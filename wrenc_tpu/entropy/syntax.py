@@ -101,6 +101,7 @@ class SliceSyntax:
         self._pass1 = np.zeros((32, 32), dtype=np.int64)
         self.q_state = 0
         self.is_cu_qp_delta_coded = False
+        self._sao_map = {}
 
     # ------------------------------------------------------------------ io
     def _bin(self, se, inc, v=None):
@@ -136,8 +137,111 @@ class SliceSyntax:
         position which gets populated."""
         if first_in_slice:
             self.c.init_slice(self.qp)
+            self._sao_map = {}
+        if self._sao_signalled():
+            self._code_sao(node)
         self.code_coding_tree(node)
         return node
+
+    # ------------------------------------------------------------------ SAO
+    def _sao_signalled(self):
+        if self.enc:
+            return bool(getattr(self.p, 'sao_enabled', False))
+        return bool(getattr(self.p, 'sao_luma_used', False)
+                    or getattr(self.p, 'sao_chroma_used', False))
+
+    def _code_sao(self, node):
+        """Per-CTU SAO parameter syntax (ctu_encoder.rs:2611-2730; spec
+        7.3.11.3). Syntax-only capability parity: like the reference, the
+        search never produces SAO offsets, and the filter itself is not
+        applied (sao is carried on the CTU node).
+
+        NOTE: sao_merge_left/up share ONE context per spec Table 51 (the
+        reference's dead code splits them; identical init values)."""
+        from .structure import CtuSao
+        p = self.p
+        rx = node.x >> p.log2_ctu_size
+        ry = node.y >> p.log2_ctu_size
+        sao = node.sao if (self.enc and node.sao is not None) else CtuSao()
+        if not self.enc:
+            node.sao = sao
+        luma_used = bool(getattr(p, 'sao_luma_used', True)) \
+            if not self.enc else True
+        chroma_used = bool(getattr(p, 'sao_chroma_used', True)) \
+            if not self.enc else (p.chroma_format != 0)
+
+        merge_left = merge_up = 0
+        if rx > 0:
+            merge_left = self._bin(SE.AlfSaoMergeLeftFlag, 0,
+                                   sao.merge_left if self.enc else None)
+        if ry > 0 and not merge_left:
+            merge_up = self._bin(SE.AlfSaoMergeLeftFlag, 0,
+                                 sao.merge_up if self.enc else None)
+        sao.merge_left, sao.merge_up = merge_left, merge_up
+        if merge_left or merge_up:
+            src = self._sao_map[(rx - 1, ry) if merge_left else (rx, ry - 1)]
+            sao.type_idx = list(src.type_idx)
+            sao.offset_abs = [list(o) for o in src.offset_abs]
+            sao.offset_sign = [list(o) for o in src.offset_sign]
+            sao.band_position = list(src.band_position)
+            sao.eo_class = list(src.eo_class)
+            self._sao_map[(rx, ry)] = sao
+            return
+
+        for c_idx in range(3 if p.chroma_format != 0 else 1):
+            if not ((luma_used and c_idx == 0)
+                    or (chroma_used and c_idx > 0)):
+                continue
+            ti = sao.type_idx[0 if c_idx == 0 else 1]
+            if c_idx in (0, 1):
+                se = (SE.AlfSaoTypeIdxLuma if c_idx == 0
+                      else SE.AlfSaoTypeIdxChroma)
+                # TR(2,0): first bin ctx 0, second bypass
+                b0 = self._bin(se, 0, int(ti > 0) if self.enc else None)
+                if b0:
+                    b1 = self._bypass(int(ti == 2) if self.enc else None)
+                    ti = 2 if b1 else 1
+                else:
+                    ti = 0
+                if not self.enc:
+                    sao.type_idx[0 if c_idx == 0 else 1] = ti
+            if ti != 0:
+                # sao_offset_abs: TR(cMax=7, 0), bypass (8-bit)
+                for i in range(4):
+                    if self.enc:
+                        v = sao.offset_abs[c_idx][i]
+                        for b in binarize.tr_bins(v, 7, 0):
+                            self._bypass(b)
+                    else:
+                        v = 0
+                        while v < 7 and self._bypass():
+                            v += 1
+                        sao.offset_abs[c_idx][i] = v
+                if ti == 1:      # band offset
+                    for i in range(4):
+                        if sao.offset_abs[c_idx][i] != 0:
+                            s = self._bypass(sao.offset_sign[c_idx][i]
+                                             if self.enc else None)
+                            if not self.enc:
+                                sao.offset_sign[c_idx][i] = s
+                    if self.enc:
+                        for b in binarize.fl_bins(
+                                sao.band_position[c_idx], 31):
+                            self._bypass(b)
+                    else:
+                        bp = 0
+                        for _ in range(5):
+                            bp = (bp << 1) | self._bypass()
+                        sao.band_position[c_idx] = bp
+                elif c_idx in (0, 1):   # edge offset class, luma/chroma
+                    if self.enc:
+                        for b in binarize.fl_bins(
+                                sao.eo_class[0 if c_idx == 0 else 1], 3):
+                            self._bypass(b)
+                    else:
+                        eo = (self._bypass() << 1) | self._bypass()
+                        sao.eo_class[0 if c_idx == 0 else 1] = eo
+        self._sao_map[(rx, ry)] = sao
 
     # ---------------------------------------------------------- coding tree
     def code_coding_tree(self, node):
