@@ -71,6 +71,42 @@ def test_frame_sharded_encode_matches_single():
     assert s1 == s2
 
 
+def test_row_band_sharded_encode_matches_single():
+    """Production CTU-row-band sharding: stage A over a (frame, row) mesh
+    with the REAL cost model and ppermute halo exchange must produce the
+    identical bitstream to the single-device encoder."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from wrenc_tpu.core.config import EncoderConfig
+    from wrenc_tpu.encoder import Encoder
+    from wrenc_tpu.search import WavefrontSearch
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(11)
+    W, H = 96, 128   # 4 CTU rows -> 4 row bands
+    frames = []
+    yy, xx = np.mgrid[0:H, 0:W]
+    for i in range(3):
+        y = np.clip(np.sin(xx / 6 + i) * 70 + np.cos(yy / 11) * 40 + 120
+                    + rng.integers(-6, 7, (H, W)), 0, 255).astype(np.uint8)
+        cb = (y[::2, ::2] // 2 + 50).astype(np.uint8)
+        cr = (210 - y[::2, ::2] // 2).astype(np.uint8)
+        frames.append((y, cb, cr))
+    cfg = EncoderConfig(width=W, height=H, qp=30)
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("frame", "row"))
+    s1, r1 = Encoder(cfg, search=WavefrontSearch(cfg, mesh=mesh)) \
+        .encode(frames)
+    s2, r2 = Encoder(cfg, search=WavefrontSearch(cfg)).encode(frames)
+    assert s1 == s2
+    for a, b in zip(r1, r2):
+        for pa, pb in zip(a, b):
+            assert (pa == pb).all()
+
+
 @pytest.mark.parametrize("rd_commit", [False, True])
 def test_commit_mode_redecision_roundtrip(rd_commit):
     """Both commit paths (stage-A modes as-is vs commit-time re-decision
@@ -103,3 +139,23 @@ def test_rd_commit_improves_lagrangian_cost():
     cost0 = ssd0 + lam * 8 * b0
     cost1 = ssd1 + lam * 8 * b1
     assert cost1 <= cost0 * 1.02, (cost0, cost1)
+
+
+def test_multihost_smoke():
+    """Two jax.distributed CPU processes, (frame=2, row=4) global mesh:
+    the row-band halo exchange crosses the process boundary and results
+    must exactly match a single-device run (SURVEY.md §4's multi-host
+    testing technique)."""
+    import os
+    import subprocess
+    import sys
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "multihost_smoke.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)       # workers set their own
+    env.pop("XLA_FLAGS", None)
+    env["SMOKE_PORT"] = "53431"
+    out = subprocess.run([sys.executable, script], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "multihost smoke PASSED" in out.stdout

@@ -154,8 +154,9 @@ class WavefrontSearch:
         fused = self._fused_luma(len(planes_y), tuple(sizes))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            row = 'row' if self.mesh.shape.get('row', 1) > 1 else None
             dev = jax.device_put(
-                planes_y, NamedSharding(self.mesh, P('frame', None, None)))
+                planes_y, NamedSharding(self.mesh, P('frame', row, None)))
         else:
             dev = jnp.asarray(planes_y)
         res = fused(dev)
@@ -324,10 +325,14 @@ class WavefrontSearch:
         level per geometry; QP-dependent scalars/tables are traced
         arguments, so changing QP does NOT recompile."""
         cfg = self.cfg
-        run = _fused_luma_builder(cfg.width, cfg.height, cfg.log2_ctu_size,
-                                  sizes, F,
-                                  int(getattr(self.rm, 'stage_a_num_rd_cands',
-                                              4)))
+        K = int(getattr(self.rm, 'stage_a_num_rd_cands', 4))
+        if self.mesh is not None and self.mesh.shape.get('row', 1) > 1:
+            run = _fused_luma_sharded_builder(
+                cfg.width, cfg.height, cfg.log2_ctu_size, sizes, F, K,
+                self.mesh)
+        else:
+            run = _fused_luma_builder(cfg.width, cfg.height,
+                                      cfg.log2_ctu_size, sizes, F, K)
         ls = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].ls)
               for s in sizes}
         bd = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].bd_shift)
@@ -806,6 +811,100 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
                 s.bit_length() - 1, lam)
             N = src.shape[0]
             out[s] = (cands.reshape(F, N, -1), cost.reshape(F, N, -1))
+        return out
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_luma_sharded_builder(W, H, log2_ctu, sizes, F, K, mesh):
+    """Row-band-sharded fused luma stage A over a (frame, row) mesh.
+
+    The SAME cost model as the single-device path (substituted+filtered
+    refs, 67-mode sweep, SSD + lam*rate) — results are bit-identical by
+    construction: the per-band gather tables are slices of the full-frame
+    substitution gather, translated into band-local coordinates. Each band
+    holds (band_h + 1) rows: a one-row halo from the band above arrives
+    via jax.lax.ppermute over 'row' (ICI), exactly the samples intra
+    availability permits a band to reference (above row r0-1; below-left
+    never crosses a CTU-row boundary). Band 0 keeps its own table where
+    the picture edge makes the halo row unavailable (substitution fills).
+    dist/sharded.py's halo demo is superseded by this production path."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    nf = mesh.shape.get("frame", 1)
+    nr = mesh.shape["row"]
+    band_h = H // nr
+    assert band_h % (1 << log2_ctu) == 0 and band_h * nr == H, \
+        "row sharding requires CTU-row-aligned equal bands"
+
+    consts = {}
+    for s in sizes:
+        src, fill = refs.subst_gather(W, H, s, 0, log2_ctu)
+        nb = (band_h // s) * (W // s)
+        loc = []
+        for b in range(nr):
+            sl = src[b * nb:(b + 1) * nb] - (b * band_h - 1) * W
+            loc.append(sl.astype(np.int32))
+        # interior bands share one pattern; band 0 differs (picture top)
+        for b in range(2, nr):
+            assert (loc[b] == loc[1]).all(), "interior bands must match"
+        fl = [fill[b * nb:(b + 1) * nb] for b in range(nr)]
+        for b in range(2, nr):
+            assert (fl[b] == fl[1]).all()
+        pi, ni, keep = refs.filter121_indices(s)
+        consts[s] = (loc[0], loc[1] if nr > 1 else loc[0],
+                     fl[0], fl[1] if nr > 1 else fl[0], pi, ni, keep)
+
+    F_loc = F // nf
+
+    def band_fn(planes, ls_a, bd_a, lam_dq, lv, lam):
+        # planes: (F_loc, band_h, W); halo row from the band above
+        last = planes[:, -1, :]
+        halo = jax.lax.ppermute(last, "row",
+                                [(i, i + 1) for i in range(nr - 1)])
+        x = jnp.concatenate([halo[:, None, :], planes], axis=1)
+        flat = x.reshape(F_loc, (band_h + 1) * W)
+        is0 = jax.lax.axis_index("row") == 0
+        out = []
+        for si, s in enumerate(sizes):
+            src0, src1, fill0, fill1, pi, ni, keep = consts[s]
+            src = jnp.where(is0, jnp.asarray(src0), jnp.asarray(src1))
+            fill = jnp.where(is0, jnp.asarray(fill0), jnp.asarray(fill1))
+            u = jnp.where(fill[None, :, None], 128, flat[:, src])
+            L = src0.shape[1]
+            u = u.reshape(-1, L)
+            uf = jnp.where(jnp.asarray(keep)[None, :], u,
+                           (u[:, jnp.asarray(pi)] + 2 * u
+                            + u[:, jnp.asarray(ni)] + 2) >> 2)
+            v = jnp.concatenate([u, uf], axis=1)
+            pred = intra_pred._predict_all_modes(v, s, 0)
+            blocks = x[:, 1:, :].reshape(F_loc, band_h // s, s, W // s, s) \
+                .transpose(0, 1, 3, 2, 4).reshape(-1, s * s)
+            cands, cost = _stage_a_select(
+                pred, blocks, K, ls_a[si], bd_a[si], lam_dq, lv,
+                s.bit_length() - 1, lam)
+            nb = src0.shape[0]
+            out.append(cands.reshape(F_loc, nb, -1))
+            out.append(cost.reshape(F_loc, nb, -1))
+        return tuple(out)
+
+    sm = shard_map(
+        band_fn, mesh=mesh,
+        in_specs=(P("frame", "row", None), P(), P(), P(), P(), P()),
+        out_specs=tuple(P("frame", "row", None)
+                        for _ in range(2 * len(sizes))),
+        check_vma=False)
+    sm_jit = jax.jit(sm)
+
+    def run(planes, ls, bd, lam_dq, lv, lam):
+        ls_a = np.array([ls[s] for s in sizes], dtype=np.int32)
+        bd_a = np.array([bd[s] for s in sizes], dtype=np.int32)
+        res = sm_jit(planes, ls_a, bd_a, lam_dq, lv, lam)
+        out = {}
+        for si, s in enumerate(sizes):
+            out[s] = (res[2 * si], res[2 * si + 1])
         return out
 
     return run
