@@ -99,10 +99,18 @@ class WavefrontSearch:
     # fixed stage-A batch buckets: every frame batch is padded up to one of
     # these, so the fused jit compiles at most once per bucket per geometry
     # (a free-running F recompiles per batch size — the round-1 855 s
-    # QP22 eval point was exactly that). The 8-frame cap also makes the
-    # chunk pipeline effective: chunk k+1's device stage A overlaps chunk
-    # k's host commit.
+    # QP22 eval point was exactly that). The cap also makes the chunk
+    # pipeline effective: chunk k+1's device stage A overlaps chunk k's
+    # host commit. Large frames cap the chunk by a pixel budget so the
+    # per-chunk device working set stays bounded (1080p -> 1 frame/chunk).
     BATCH_BUCKETS = (1, 2, 4, 8)
+    CHUNK_PIXEL_BUDGET = 3_500_000
+
+    def _buckets(self):
+        px = self.cfg.width * self.cfg.height
+        bs = [b for b in self.BATCH_BUCKETS
+              if b * px <= self.CHUNK_PIXEL_BUDGET]
+        return bs or [1]
 
     def encode_frames(self, frames):
         """Chunked batched API: frames are processed in fixed-size stage-A
@@ -112,7 +120,7 @@ class WavefrontSearch:
         Returns [(trees, recon), ...]."""
         self.phase_times = {}
         out = []
-        max_b = self.BATCH_BUCKETS[-1]
+        max_b = self._buckets()[-1]
         chunks = [frames[i:i + max_b] for i in range(0, len(frames), max_b)]
         pending = self._dispatch_stage_a(chunks[0])
         for k, chunk in enumerate(chunks):
@@ -123,10 +131,11 @@ class WavefrontSearch:
         return out
 
     def _bucket(self, n):
-        for b in self.BATCH_BUCKETS:
+        bs = self._buckets()
+        for b in bs:
             if n <= b:
                 return b
-        return self.BATCH_BUCKETS[-1]
+        return bs[-1]
 
     def _phase(self, name, dt):
         self.phase_times[name] = self.phase_times.get(name, 0.0) + dt
