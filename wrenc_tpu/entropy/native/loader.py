@@ -297,7 +297,9 @@ def _rd_consts(cfg, with_headers=False):
     if with_headers:
         vals += [rm.pick('header_bits', dep, True),
                  rm.pick('chroma_header_bits', dep, True),
-                 float(getattr(rm, 'commit_chroma_redecide', 1.0))]
+                 float(getattr(rm, 'commit_chroma_redecide', 1.0)),
+                 float(getattr(rm, 'commit_rank_full', 1.0)),
+                 float(getattr(rm, 'commit_rank_trellis', 1.0))]
     return np.array(vals, dtype=np.float64)
 
 

@@ -1567,6 +1567,8 @@ struct RdConsts {
   int cclm_enabled, dep_quant;
   double hb, chb;  // header_bits / chroma_header_bits (trellis variants)
   int chroma_redecide = 1;  // 0: trust the stage-A chroma pick
+  int rank_full = 0;        // 1: include chroma in candidate ranking
+  int rank_trellis = 0;     // 1: rank with the trellis quantizer
 };
 
 // optional commit profiling (WRENC_COMMIT_PROF=1): accumulated seconds per
@@ -1845,17 +1847,30 @@ struct RdCommitter {
         luma_mode = last_live;
         if (prof) g_commit_prof.n_pruned.fetch_add(1);
       } else {
+        int16_t qc[16 * 16];
+        int32_t rc2[16 * 16];
         for (int k = 0; k < n_cand; ++k) {
           int m = cands[k];
           if (m < 0) continue;
           bool dup = false;
           for (int j = 0; j < k; ++j) dup = dup || cands[j] == m;
           if (dup) continue;
-          int64_t ssd_y = eval_comp(0, x, y, log2, m, qy, ry, 0);
+          int64_t ssd_y =
+              eval_comp(0, x, y, log2, m, qy, ry, rd->rank_trellis ? -1 : 0);
           double mb = luma_mode_bits(m, cand5);
           int64_t level_y = level_rate(qy, log2) + (int64_t)(mb * 16384.0);
           double cost =
               (double)ssd_y + rd->lam * ((double)level_y / 16384.0);
+          if (rd->rank_full && tree == 0) {
+            // the reference's full leaf cost covers all three components
+            // with the derived chroma mode (block_splitter.rs:110)
+            int rtq = rd->rank_trellis ? -1 : 0;
+            int64_t ssd_c = eval_comp(1, x, y, log2, m, qc, rc2, rtq);
+            int64_t level_c = level_rate(qc, log2 - 1);
+            ssd_c += eval_comp(2, x, y, log2, m, qc, rc2, rtq);
+            level_c += level_rate(qc, log2 - 1);
+            cost += (double)ssd_c + rd->lam * ((double)level_c / 16384.0);
+          }
           if (prof) g_commit_prof.n_rank_evals.fetch_add(1);
           if (first || cost < best) {
             first = false;
@@ -2120,6 +2135,8 @@ extern "C" void wrenc_commit_frames_tree(
   rc.hb = rd_consts[12];
   rc.chb = rd_consts[13];
   rc.chroma_redecide = rd_consts[14] != 0.0;
+  rc.rank_full = rd_consts[15] != 0.0;
+  rc.rank_trellis = rd_consts[16] != 0.0;
   rc.cclm_enabled = cclm_enabled;
   rc.dep_quant = dep_quant;
 

@@ -150,12 +150,20 @@ def main(argv=None):
     videos = args.videos.split(",")
 
     all_results = []
+    warmed = False
     for video in videos:
         path = os.path.join(args.assets, video)
         frames = load_clip_yuv(path, args.frames)
         print(f"== {video}: {len(frames)} frames "
               f"{frames[0][0].shape[1]}x{frames[0][0].shape[0]}",
               file=sys.stderr, flush=True)
+        if not warmed:
+            # absorb jit tracing / compile-cache loading so the first RD
+            # point's duration measures encoding, not compilation (use a
+            # full chunk so the warmed geometry matches the timed runs)
+            run_point(frames[:8], qps[0], args.max_split_depth,
+                      verify=False)
+            warmed = True
         vres = []
         for qp in qps:
             nbytes, psum, ssum, dt, ps, ss = run_point(
