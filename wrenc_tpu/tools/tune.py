@@ -27,11 +27,26 @@ from .evaluate import ANCHORS, load_clip_yuv, frame_psnr_avg, DEFAULT_ASSETS
 from .metrics import bd_rate
 
 
-def tunable_names():
-    """Float-valued rate-model constants (the Optuna search space)."""
+# behavioural SWITCHES, not continuous constants — excluded from the
+# perturbation search (their values are picked by explicit A/B evals)
+_SWITCHES = {"commit_chroma_redecide", "commit_rank_full",
+             "commit_rank_trellis"}
+
+
+def tunable_names(only=None):
+    """Float-valued rate-model constants (the Optuna search space).
+
+    only: optional comma-separated subset."""
     rm = RateModelConfig()
-    return [f.name for f in dataclasses.fields(rm)
-            if isinstance(getattr(rm, f.name), float)]
+    names = [f.name for f in dataclasses.fields(rm)
+             if isinstance(getattr(rm, f.name), float)
+             and f.name not in _SWITCHES]
+    if only:
+        want = set(only.split(","))
+        unknown = want - set(names)
+        assert not unknown, f"unknown tunables: {unknown}"
+        names = [n for n in names if n in want]
+    return names
 
 
 def objective(params, videos_frames, qps, max_split_depth):
@@ -143,10 +158,12 @@ def main(argv=None):
     ap.add_argument("--moves", type=int, default=6,
                     help="parameters perturbed per trial")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--params", default=None,
+                    help="comma-separated subset of constants to tune")
     args = ap.parse_args(argv)
 
     qps = [int(q) for q in args.qps.split(",")]
-    names = tunable_names()
+    names = tunable_names(args.params)
     videos_frames = []
     for video in args.videos.split(","):
         frames = load_clip_yuv(os.path.join(args.assets, video), args.frames)
