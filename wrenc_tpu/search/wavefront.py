@@ -138,6 +138,8 @@ class WavefrontSearch:
         return bs[-1]
 
     def _phase(self, name, dt):
+        if not hasattr(self, 'phase_times'):
+            self.phase_times = {}
         self.phase_times[name] = self.phase_times.get(name, 0.0) + dt
 
     def _dispatch_stage_a(self, frames):
