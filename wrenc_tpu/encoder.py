@@ -53,6 +53,7 @@ class Encoder:
 
     def encode_slice(self, trees):
         """Entropy-code one slice from per-CTU decision trees -> RBSP."""
+        from .core.partition import single_layout
         cfg = self.cfg
         n_cols = cfg.width >> cfg.log2_ctu_size
         n_rows = cfg.height >> cfg.log2_ctu_size
@@ -69,9 +70,13 @@ class Encoder:
                                                               cfg.qp)
             cabac = CabacEncoder(w)
             syn = SliceSyntax(cabac, cfg, 'enc')
-            n = len(trees)
-            for i, tree in enumerate(trees):
-                syn.code_ctu(tree, first_in_slice=(i == 0))
+            # CTU coding order through the picture layout (tile scan;
+            # 1 tile/slice/subpic at the operating point = raster)
+            order = single_layout(n_cols, n_rows).ctu_order()
+            n = len(order)
+            for i, (cx, cy) in enumerate(order):
+                syn.code_ctu(trees[cy * n_cols + cx],
+                             first_in_slice=(i == 0))
                 cabac.encode_terminate(1 if i == n - 1 else 0)
             w.byte_align()
             return w.bytes()

@@ -22,40 +22,23 @@ import numpy as np
 
 from .metrics import psnr, ssim, bd_rate
 
-# Published anchor RD points from the reference evaluation
-# (tools/evaluation/summary.json @ 1d5b5ec): (qp, bytes, psnr_avg, ssim_avg).
-ANCHORS = {
-    "wrenc": {
-        "bus_352x288_30fps_30fr.mp4": [
-            (20, 815462, 44.043, 0.9879), (23, 664307, 41.702, 0.9812),
-            (26, 523012, 39.227, 0.9697), (29, 405281, 36.895, 0.9539),
-            (32, 301521, 34.539, 0.9303), (35, 220734, 32.390, 0.8992),
-            (38, 155263, 30.303, 0.8582), (41, 107279, 28.446, 0.8123),
-        ],
-        "mobile_352x288_30fps_30fr.mp4": [
-            (20, 1189944, 43.576, 0.9909), (23, 1001068, 41.091, 0.9856),
-            (26, 820576, 38.493, 0.9768), (29, 667309, 36.078, 0.9648),
-            (32, 525645, 33.592, 0.9468), (35, 407220, 31.262, 0.9225),
-            (38, 304663, 28.942, 0.8878), (41, 221627, 26.785, 0.8411),
-        ],
-    },
-    "x265": {
-        "bus_352x288_30fps_30fr.mp4": [
-            (23, 883900, 44.484, 0.9901), (26, 722598, 42.002, 0.9842),
-            (29, 580181, 39.513, 0.9743), (32, 460891, 37.123, 0.9600),
-            (35, 362758, 34.830, 0.9401), (38, 282965, 32.613, 0.9112),
-            (41, 219269, 30.484, 0.8721), (44, 170878, 28.513, 0.8254),
-        ],
-        "mobile_352x288_30fps_30fr.mp4": [
-            (23, 1246487, 43.896, 0.9923), (26, 1042268, 41.250, 0.9876),
-            (29, 857936, 38.611, 0.9799), (32, 696904, 36.052, 0.9683),
-            (35, 562377, 33.639, 0.9533), (38, 446352, 31.252, 0.9308),
-            (41, 348731, 28.913, 0.8976), (44, 271631, 26.734, 0.8534),
-        ],
-    },
-}
+_CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "config")
 
-DEFAULT_ASSETS = "/root/reference/assets"
+
+def _load_config(name):
+    with open(os.path.join(_CONFIG_DIR, name)) as f:
+        return json.load(f)
+
+
+# Published anchor RD points from the reference evaluation
+# (tools/evaluation/summary.json @ 1d5b5ec): [qp, bytes, psnr, ssim] —
+# external JSON like the reference's videos/presets/metrics config files.
+ANCHORS = {name: {vid: [tuple(p) for p in pts] for vid, pts in table.items()}
+           for name, table in _load_config("anchors.json").items()}
+_VIDEOS = _load_config("videos.json")
+
+DEFAULT_ASSETS = _VIDEOS["assets_dir"]
 
 
 def load_clip_yuv(path, num_frames=None):
