@@ -165,3 +165,49 @@ def test_mts_zero_out_suppresses_mts_idx():
     q_dc[0, 0] = 4
     zo, dc = code_one(q_dc)
     assert zo and dc
+
+
+def test_cu_qp_delta_full_binarization():
+    """cu_qp_delta_abs codes the complete TR(5)+EG0+sign binarization
+    (spec 9.3.3): a nonzero delta must parse to the right value (then be
+    rejected cleanly — fixed-QP reconstruction only), not desync."""
+    import numpy as np
+    from wrenc_tpu.bitstream.bitio import BitWriter, BitReader
+    from wrenc_tpu.bitstream.headers import ParsedParams
+    from wrenc_tpu.core.config import EncoderConfig
+    from wrenc_tpu.entropy.cabac import CabacEncoder, CabacDecoder
+    from wrenc_tpu.entropy.structure import CuDecision
+    from wrenc_tpu.entropy.syntax import SliceSyntax
+
+    for delta in (0, 3, -7, 11):
+        cfg = EncoderConfig(width=32, height=32, qp=32)
+        w = BitWriter()
+        enc = CabacEncoder(w)
+        syn = SliceSyntax(enc, cfg, 'enc')
+        enc.init_slice(cfg.qp)
+        cu = CuDecision(0, 0, 5, 'S', luma_mode=0, chroma_mode=0)
+        q = np.zeros((32, 32), np.int16)
+        q[0, 1] = 4
+        cu.coeffs = [q, np.zeros((16, 16), np.int16),
+                     np.zeros((16, 16), np.int16)]
+        cu.qp_delta = delta
+        syn.code_transform_unit(cu)
+        enc.encode_terminate(1)
+        w.byte_align()
+
+        pp = ParsedParams()
+        pp.width, pp.height = 32, 32
+        pp.slice_qp = cfg.qp
+        pp.dep_quant_used = True
+        dec = CabacDecoder(BitReader(w.bytes()))
+        syn2 = SliceSyntax(dec, pp, 'dec')
+        dec.init_slice(cfg.qp)
+        cu2 = CuDecision(0, 0, 5, 'S')
+        if delta == 0:
+            syn2.code_transform_unit(cu2)
+            assert cu2.qp_delta == 0
+        else:
+            import pytest
+            with pytest.raises(NotImplementedError):
+                syn2.code_transform_unit(cu2)
+            assert cu2.qp_delta == delta   # parsed correctly before reject

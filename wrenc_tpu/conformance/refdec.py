@@ -840,8 +840,24 @@ class SliceDecoder:
             y_cbf = a.bin(Y_CBF, 0, "tu_y_coded_flag")
         if ((y_cbf or cb_cbf or cr_cbf) and tree != 'C'
                 and ps.cu_qp_delta_enabled and self.qp_delta_pending):
-            _expect(a.bin(QP_DELTA_ABS, 0, "cu_qp_delta_abs") == 0,
-                    "nonzero cu_qp_delta unsupported")
+            # full binarization: TR(5) prefix (bin0 ctx0, rest ctx1) +
+            # EG0 bypass suffix + bypass sign (spec 9.3.3)
+            v = 0
+            while v < 5 and a.bin(QP_DELTA_ABS, 0 if v == 0 else 1,
+                                  "cu_qp_delta_abs"):
+                v += 1
+            if v == 5:
+                pre = 0
+                while a.bypass("cu_qp_delta_abs_eg"):
+                    pre += 1
+                suf = 0
+                for _ in range(pre):
+                    suf = (suf << 1) | a.bypass("cu_qp_delta_abs_eg")
+                v += (1 << pre) - 1 + suf
+            if v:
+                a.bypass("cu_qp_delta_sign")
+            _expect(v == 0, "nonzero cu_qp_delta: per-QG QP prediction "
+                            "reconstruction unsupported")
             self.qp_delta_pending = False
         qy = qcb = qcr = None
         ts = [0, 0, 0]

@@ -25,6 +25,8 @@ class CuDecision:
     # per-component transform_skip flags (selected by the search when
     # cfg.transform_skip_search is on; parsed by the decoder)
     ts: list = field(default_factory=lambda: [0, 0, 0])
+    # QP-group delta (always 0 from this fixed-QP encoder)
+    qp_delta: int = 0
 
 
 @dataclass

@@ -483,13 +483,38 @@ class SliceSyntax:
         else:
             y_coded = 0
 
-        # cu_qp_delta (QG = CTU); fixed-QP -> delta 0
+        # cu_qp_delta (QG = CTU); this encoder runs fixed-QP so the value
+        # is always 0, but the full binarization is coded/parsed: TR(5)
+        # prefix (bin0 ctx 0, bins 1..4 ctx 1), EG0 bypass suffix when the
+        # prefix saturates, bypass sign when abs > 0 (spec 9.3.3;
+        # ctu_encoder.rs:1604-1650)
         if ((y_coded or cb_coded or cr_coded) and cu.tree != 'C'
                 and getattr(self.p, 'cu_qp_delta_enabled', True)
                 and not self.is_cu_qp_delta_coded):
-            # cu_qp_delta_abs == 0: single TR prefix bin, ctx 0
-            v = self._bin(SE.CuQpDeltaAbs, 0, 0 if self.enc else None)
-            assert v == 0, "non-zero cu_qp_delta not produced by this encoder"
+            delta = getattr(cu, 'qp_delta', 0) if self.enc else None
+            if self.enc:
+                v = abs(delta)
+                for b_idx, b in enumerate(binarize.tr_bins(min(v, 5), 5, 0)):
+                    self._bin(SE.CuQpDeltaAbs, 0 if b_idx == 0 else 1, b)
+                if v >= 5:
+                    for b in binarize.egk_bins(v - 5, 0):
+                        self._bypass(b)
+                if v:
+                    self._bypass(1 if delta < 0 else 0)
+            else:
+                v = 0
+                while v < 5 and self.c.decode_bin(SE.CuQpDeltaAbs,
+                                                  0 if v == 0 else 1):
+                    v += 1
+                if v == 5:
+                    v += binarize.read_egk(self._bypass_read, 0)
+                sign = self._bypass() if v else 0
+                cu.qp_delta = -v if sign else v
+                if v:
+                    raise NotImplementedError(
+                        "non-zero cu_qp_delta parsed; per-QG QP prediction "
+                        "(spec 8.7.1) reconstruction is not implemented — "
+                        "this encoder only emits fixed-QP streams")
             self.is_cu_qp_delta_coded = True
 
         max_ts = 1 << self.p.log2_transform_skip_max_size
