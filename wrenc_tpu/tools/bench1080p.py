@@ -17,8 +17,7 @@ import time
 import numpy as np
 
 
-def frames_1080p(n):
-    W, H = 1920, 1088
+def frames_1080p(n, W=1920, H=1088):
     try:
         from .evaluate import load_clip_yuv
         small = load_clip_yuv(
@@ -51,6 +50,8 @@ def frames_1080p(n):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--size", default="1920x1088",
+                    help="WxH (e.g. 3840x2176 for the 4K target class)")
     ap.add_argument("--qp", type=int, default=32)
     ap.add_argument("--out", default="results/1080p.json")
     ap.add_argument("--no-verify", action="store_true")
@@ -60,11 +61,11 @@ def main():
     from wrenc_tpu.encoder import Encoder
     from wrenc_tpu.search import WavefrontSearch
 
-    W, H = 1920, 1088
+    W, H = (int(v) for v in args.size.split("x"))
     cfg = EncoderConfig(width=W, height=H, qp=args.qp,
                         entropy_coding_sync_enabled=True,
                         entry_point_offsets_present=True)
-    frames = frames_1080p(args.frames)
+    frames = frames_1080p(args.frames, W, H)
     enc = Encoder(cfg, search=WavefrontSearch(cfg))
 
     t0 = time.perf_counter()
@@ -101,7 +102,8 @@ def main():
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec), file=sys.stderr)
-    print(json.dumps({"metric": "encode_fps_1080p_qp32",
+    tag = "4k" if W >= 3840 else "1080p"
+    print(json.dumps({"metric": f"encode_fps_{tag}_qp32",
                       "value": rec["fps"], "unit": "frames/s"}))
 
 
