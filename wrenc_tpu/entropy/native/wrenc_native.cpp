@@ -1826,14 +1826,19 @@ struct RdCommitter {
     double luma_cost = 0.0;
     int16_t best_qy[32 * 32];
     int32_t best_ry[32 * 32];
+    // when the rank quantizer equals the commit quantizer, the winner's
+    // ranking encode IS the final encode — cache it (bit-identical reuse)
+    const bool reuse = rd->rank_trellis || !fc.tabs->trellis;
+    bool have_luma = false, have_chroma = false;
+    int16_t save_qcb[16 * 16], save_qcr[16 * 16];
+    int32_t save_rcb[16 * 16], save_rcr[16 * 16];
+    int64_t save_ssd_c = 0, save_level_c = 0;
     if (tree != 2) {
       int cand5[5];
       mpm_list(x, y, size, cand5);
-      // candidate RANKING uses the greedy quantizer and luma only — the
-      // final winner is re-encoded below with the commit quantizer
-      // (trellis). Ranking work per candidate drops ~4x vs trellis+chroma
-      // with negligible RD impact (the reference ranks by SAD before its
-      // full-RD step search, block_splitter.rs:887-974).
+      // candidate ranking: full leaf cost over the active components with
+      // the derived chroma (the reference's get_intra_pred_cost,
+      // block_splitter.rs:110); rank_full / rank_trellis narrow it
       double best = 0;
       bool first = true;
       int16_t qy[32 * 32];
@@ -1847,8 +1852,9 @@ struct RdCommitter {
         luma_mode = last_live;
         if (prof) g_commit_prof.n_pruned.fetch_add(1);
       } else {
-        int16_t qc[16 * 16];
-        int32_t rc2[16 * 16];
+        int16_t qcb_t[16 * 16], qcr_t[16 * 16];
+        int32_t rcb_t[16 * 16], rcr_t[16 * 16];
+        const int csz = (size >> 1) * (size >> 1);
         for (int k = 0; k < n_cand; ++k) {
           int m = cands[k];
           if (m < 0) continue;
@@ -1859,16 +1865,17 @@ struct RdCommitter {
               eval_comp(0, x, y, log2, m, qy, ry, rd->rank_trellis ? -1 : 0);
           double mb = luma_mode_bits(m, cand5);
           int64_t level_y = level_rate(qy, log2) + (int64_t)(mb * 16384.0);
-          double cost =
+          double cost_y =
               (double)ssd_y + rd->lam * ((double)level_y / 16384.0);
-          if (rd->rank_full && tree == 0) {
-            // the reference's full leaf cost covers all three components
-            // with the derived chroma mode (block_splitter.rs:110)
+          double cost = cost_y;
+          int64_t ssd_c = 0, level_c = 0;
+          const bool with_chroma = rd->rank_full && tree == 0;
+          if (with_chroma) {
             int rtq = rd->rank_trellis ? -1 : 0;
-            int64_t ssd_c = eval_comp(1, x, y, log2, m, qc, rc2, rtq);
-            int64_t level_c = level_rate(qc, log2 - 1);
-            ssd_c += eval_comp(2, x, y, log2, m, qc, rc2, rtq);
-            level_c += level_rate(qc, log2 - 1);
+            ssd_c = eval_comp(1, x, y, log2, m, qcb_t, rcb_t, rtq);
+            level_c = level_rate(qcb_t, log2 - 1);
+            ssd_c += eval_comp(2, x, y, log2, m, qcr_t, rcr_t, rtq);
+            level_c += level_rate(qcr_t, log2 - 1);
             cost += (double)ssd_c + rd->lam * ((double)level_c / 16384.0);
           }
           if (prof) g_commit_prof.n_rank_evals.fetch_add(1);
@@ -1876,16 +1883,34 @@ struct RdCommitter {
             first = false;
             best = cost;
             luma_mode = m;
+            if (reuse) {
+              std::memcpy(best_qy, qy, sizeof(int16_t) * size * size);
+              std::memcpy(best_ry, ry, sizeof(int32_t) * size * size);
+              luma_cost = cost_y;
+              have_luma = true;
+              if (with_chroma) {
+                std::memcpy(save_qcb, qcb_t, sizeof(int16_t) * csz);
+                std::memcpy(save_qcr, qcr_t, sizeof(int16_t) * csz);
+                std::memcpy(save_rcb, rcb_t, sizeof(int32_t) * csz);
+                std::memcpy(save_rcr, rcr_t, sizeof(int32_t) * csz);
+                save_ssd_c = ssd_c;
+                save_level_c = level_c;
+                have_chroma = true;
+              }
+            }
           }
         }
       }
       int64_t tp1 = prof ? now_us() : 0;
-      // final encode of the winner with the commit quantizer
-      int64_t ssd_y = eval_comp(0, x, y, log2, luma_mode, best_qy, best_ry);
-      double mb = luma_mode_bits(luma_mode, cand5);
-      int64_t level_y =
-          level_rate(best_qy, log2) + (int64_t)(mb * 16384.0);
-      luma_cost = (double)ssd_y + rd->lam * ((double)level_y / 16384.0);
+      if (!have_luma) {
+        // final encode of the winner with the commit quantizer
+        int64_t ssd_y =
+            eval_comp(0, x, y, log2, luma_mode, best_qy, best_ry);
+        double mb = luma_mode_bits(luma_mode, cand5);
+        int64_t level_y =
+            level_rate(best_qy, log2) + (int64_t)(mb * 16384.0);
+        luma_cost = (double)ssd_y + rd->lam * ((double)level_y / 16384.0);
+      }
       write_comp(0, x, y, log2, best_ry, best_qy, coeff_y);
       set_mode_map(x, y, size, luma_mode);
       modes_out[0] = luma_mode;
@@ -1930,8 +1955,20 @@ struct RdCommitter {
       return luma_cost + cost;
     }
     double mbd = rd->cclm_enabled ? rd->non_cclm_offset : 0.0;
-    double cost_d =
-        chroma_cost(x, y, log2, derived, mbd, qcb, rcb, qcr, rcr);
+    double cost_d;
+    if (have_chroma) {
+      // the winner's derived-mode chroma encode was cached in ranking —
+      // rebuild cost_d with identical arithmetic instead of re-encoding
+      const int csz = (size >> 1) * (size >> 1);
+      std::memcpy(qcb, save_qcb, sizeof(int16_t) * csz);
+      std::memcpy(qcr, save_qcr, sizeof(int16_t) * csz);
+      std::memcpy(rcb, save_rcb, sizeof(int32_t) * csz);
+      std::memcpy(rcr, save_rcr, sizeof(int32_t) * csz);
+      int64_t level = save_level_c + (int64_t)(mbd * 16384.0);
+      cost_d = (double)save_ssd_c + rd->lam * ((double)level / 16384.0);
+    } else {
+      cost_d = chroma_cost(x, y, log2, derived, mbd, qcb, rcb, qcr, rcr);
+    }
     int chroma_mode = derived;
     if (rd->cclm_enabled) {
       int64_t best_sad = 0;
