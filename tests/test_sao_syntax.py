@@ -133,3 +133,36 @@ def test_sao_params_parsed_back():
             for k in range(2):
                 if want.type_idx[k] == 2:
                     assert got.eo_class[k] == want.eo_class[k]
+
+
+def test_sao_with_wpp_roundtrips_both_oracles():
+    """SAO parameters + WPP subsets in one stream: context checkpoints
+    must carry the SAO contexts too; both oracles must byte-match."""
+    from wrenc_tpu.encoder import Encoder
+    from wrenc_tpu.spec.encoder import ScalarEncoder
+    from wrenc_tpu.decoder import decode_annexb
+    from wrenc_tpu.conformance import decode_annexb_independent
+    from wrenc_tpu.bitstream import nal
+    from wrenc_tpu.bitstream.headers import (write_pps, write_ph, write_sps,
+                                             write_vps)
+
+    cfg = EncoderConfig(width=96, height=96, qp=32, sao_enabled=True,
+                        entropy_coding_sync_enabled=True,
+                        entry_point_offsets_present=True)
+    frame = synth(96, 96, seed=4)
+    trees, recon = ScalarEncoder(cfg).encode_frame(frame)
+    rng = np.random.default_rng(5)
+    for i, t in enumerate(trees):
+        t.sao = rich_sao(rng)
+    enc = Encoder(cfg)
+    out = bytearray()
+    nal.write_nal(out, 1, nal.VPS_NUT, write_vps(cfg))
+    nal.write_nal(out, 9, nal.SPS_NUT, write_sps(cfg))
+    nal.write_nal(out, 9, nal.PPS_NUT, write_pps(cfg))
+    nal.write_nal(out, 9, nal.PH_NUT, write_ph(cfg, 0))
+    nal.write_nal(out, 9, nal.IDR_W_RADL, enc.encode_slice(trees))
+    stream = bytes(out)
+    for dec in (decode_annexb(stream)[0],
+                decode_annexb_independent(stream)[0]):
+        for c in range(3):
+            assert (dec[c] == recon[c].astype(np.uint8)).all(), c
