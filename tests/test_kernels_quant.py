@@ -94,3 +94,33 @@ def test_dequantize_kernel():
     d = np.asarray(kq.dequantize(q, qpar.ls, qpar.bd_shift))
     for i in range(3):
         assert (d[i] == quant.dequantize(q[i], qpar)).all()
+
+
+@pytest.mark.parametrize("log2", [2, 3, 4, 5])
+def test_trellis_parallel_scan_matches_sequential(log2):
+    """The min-plus associative-scan Viterbi (log-depth, TPU-native) must
+    be bit-identical to the sequential lax.scan trellis (itself
+    equality-tested against spec.quant and the native trellis), including
+    tie-breaking, all-zero blocks and DC-only blocks."""
+    import jax.numpy as jnp
+    from wrenc_tpu.core.config import RateModelConfig
+    from wrenc_tpu.kernels import quantize as kq
+    from wrenc_tpu.spec import quant
+
+    rm = RateModelConfig()
+    rng = np.random.default_rng(7 + log2)
+    s = 1 << log2
+    t = rng.integers(-3000, 3000, (24, s, s)).astype(np.int32)
+    t[0] = 0                                   # all-zero block
+    t[1] = 0
+    t[1, 0, 0] = 1                             # DC-only
+    t[2] = rng.integers(-3, 4, (s, s))         # tie-heavy small coeffs
+    for qp in (22, 37):
+        qpar = quant.derive_quant_params(qp, log2, log2, dep_quant=True,
+                                         transform_skip=False)
+        lam = jnp.asarray(kq.lam_dq_table(rm, qp, trellis=True))
+        q_seq = np.asarray(kq.trellis_depquant(
+            jnp.asarray(t), qpar.ls, qpar.bd_shift, lam, log2))
+        q_par = np.asarray(kq.trellis_depquant_pscan(
+            jnp.asarray(t), qpar.ls, qpar.bd_shift, lam, log2))
+        assert (q_seq == q_par).all(), (log2, qp)

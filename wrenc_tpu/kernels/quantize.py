@@ -238,3 +238,115 @@ def _dq_rate_scan(q, log2_n, lv_table):
             jnp.zeros(B, jnp.float32))
     (_, _, rate), _ = jax.lax.scan(body, init, qf.T)
     return rate
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def trellis_depquant_pscan(t, ls, bd_shift, lam_dq, log2_n):
+    """Parallel-scan (log-depth) exact 8-state dependent-quantization
+    Viterbi — the TPU-native reformulation of spec.quant's trellis.
+
+    The sequential Viterbi is a chain of min-plus products of per-position
+    8x8 transition-cost matrices; min-plus matrix product is associative,
+    so prefix costs come from jax.lax.associative_scan (log2(P) combines
+    of vectorized (B, P, 8, 8) min-plus matmuls instead of P sequential
+    steps), and the backtrack is a reverse associative scan over the
+    composition of per-position argmin tables. Results are bit-identical
+    to trellis_depquant / the native trellis / spec.quant (same candidate
+    model, same strict-< first-(state, k) tie-breaking; ties are decided
+    by argmin over exact costs, which per-prefix normalization shifts by
+    a constant only).
+    """
+    B = t.shape[0]
+    order = coding_order(log2_n)
+    P = order.shape[0]
+    tf = t.reshape(B, -1)[:, order]                     # (B, P) coding order
+    bd_offset = (1 << bd_shift) >> 1
+    trans = jnp.asarray(_q_trans())
+    BIG = jnp.int32(1 << 29)
+
+    q_states = jnp.arange(8, dtype=jnp.int32) >> 1       # (8,)
+    trailing_s = (jnp.arange(8, dtype=jnp.int32) & 1).astype(bool)
+    is_dc = jnp.zeros(P, bool).at[P - 1].set(True)       # (P,)
+
+    # ---- per-position edge costs/magnitudes for all 8 source states x 2
+    # candidates, fully vectorized over (B, P)
+    tc = tf[:, :, None]                                  # (B, P, 1)
+    delta = (q_states > 1).astype(jnp.int32)[None, None, :]
+    s_ = (jnp.abs(tc) << bd_shift) + jnp.where(tc < 0, bd_offset,
+                                               -bd_offset)
+    a0 = (s_ // ls + delta) // 2                         # (B, P, 8)
+    zero = tc == 0
+
+    def eval_a(a):
+        mag = jnp.where(a == 0, 0, 2 * a - delta)
+        dq = (mag * ls + bd_offset) >> bd_shift
+        dist = jnp.abs(jnp.abs(tc) - dq)
+        bits = jnp.where((a == 0) & trailing_s[None, None, :], 0, a + 1)
+        c = 128 * dist + lam_dq[jnp.clip(bits, 0, 1023)]
+        c = c - jnp.where(is_dc[None, :, None] & trailing_s[None, None, :]
+                          & (a == 0), lam_dq[1], 0)
+        nstate = trans[q_states[None, None, :], a & 1] * 2 + \
+            (trailing_s[None, None, :] & (a == 0)).astype(jnp.int32)
+        return c, jnp.where(tc < 0, -mag, mag), nstate
+
+    eye8 = jnp.arange(8)
+    E = jnp.full((B, P, 8, 8), BIG, jnp.int32)           # [src, dst] costs
+    # 16-slot (k-major, src-minor) edge tables: the sequential kernel's
+    # relax order is k outer / src inner, so destination TIES must resolve
+    # to the lowest (k, src) in that order — argmin over this axis does
+    E16 = jnp.full((B, P, 16, 8), BIG, jnp.int32)
+    M16 = jnp.zeros((B, P, 16, 8), jnp.int32)
+    for k in (0, 1):
+        a = jnp.where(zero, 0, a0 + k)
+        c, mag, nstate = eval_a(a)
+        c = jnp.where(zero & (k == 1), BIG, c)           # zeros: one option
+        hot = eye8[None, None, None, :] == nstate[..., None]  # (B,P,8,8)
+        ck = jnp.where(hot, c[..., None], BIG)
+        mk = jnp.where(hot, mag[..., None], 0)
+        better = ck < E                                   # strict <: k0 wins
+        E = jnp.where(better, ck, E)
+        E16 = E16.at[:, :, 8 * k:8 * k + 8, :].set(ck)
+        M16 = M16.at[:, :, 8 * k:8 * k + 8, :].set(mk)
+
+    # ---- prefix min-plus products (normalized per prefix to stay int32)
+    def combine(Aa, Bb):
+        # (A (x) B)[i, j] = min_k A[i, k] + B[k, j]
+        R = jnp.min(Aa[..., :, :, None] + Bb[..., None, :, :], axis=-2)
+        R = jnp.minimum(R, BIG)
+        return R - R.min(axis=(-2, -1), keepdims=True)
+
+    pre = jax.lax.associative_scan(combine, E, axis=1)   # (B, P, 8, 8)
+    # cost vector after position p = row of the initial state (q0, trailing)
+    v = pre[:, :, 1, :]                                  # (B, P, 8)
+    final_state = jnp.argmin(v[:, P - 1, :], axis=1).astype(jnp.int32)
+
+    # ---- per-position backtrack tables f_p[dst] = best (k, src) slot
+    # (argmin over the 16 k-major/src-minor slots reproduces the
+    # sequential relax order's tie-breaking), then src = slot % 8
+    v0 = jnp.full((8,), BIG, jnp.int32).at[1].set(0)
+    v_prev = jnp.concatenate(
+        [jnp.broadcast_to(v0, (B, 1, 8)), v[:, :-1, :]], axis=1)
+    slot_src = jnp.tile(jnp.arange(8), 2)                 # (16,)
+    f16 = jnp.argmin(v_prev[:, :, slot_src, None] + E16,
+                     axis=-2).astype(jnp.int32)           # (B, P, 8)
+    f = slot_src[f16]
+
+    def compose(g, h):
+        # reverse-scan suffix composition: result[p][x] =
+        # f_p[f_{p+1}[...[x]]] (argument order verified empirically for
+        # jax.lax.associative_scan(reverse=True))
+        return jnp.take_along_axis(h, g, axis=-1)
+
+    F = jax.lax.associative_scan(compose, f, axis=1, reverse=True)
+    # state AFTER position p on the optimal path
+    s_after = jnp.concatenate(
+        [jnp.take_along_axis(
+            F[:, 1:, :], final_state[:, None, None].repeat(P - 1, 1),
+            axis=-1)[..., 0],
+         final_state[:, None]], axis=1)                  # (B, P)
+    slot = jnp.take_along_axis(f16, s_after[..., None], axis=-1)[..., 0]
+    qf = M16[jnp.arange(B)[:, None], jnp.arange(P)[None, :],
+             slot, s_after]                              # (B, P)
+    q = jnp.zeros((B, (1 << log2_n) ** 2), jnp.int32)
+    q = q.at[:, order].set(qf)
+    return q.reshape(t.shape).astype(jnp.int16)
