@@ -72,3 +72,27 @@ def test_wavefront_cclm_roundtrip():
     for fa, fb in zip(recons, dec):
         for a, b in zip(fa, fb):
             assert np.array_equal(a, b)
+
+
+def test_device_cclm_matches_numpy():
+    """The jnp CCLM kernel must be bit-exact vs np_ops.predict_cclm_np
+    across modes, sizes, and availability geometries (picture corners,
+    edges, CTU-row boundaries)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wrenc_tpu.kernels import intra_pred, np_ops, refs
+
+    rng = np.random.default_rng(17)
+    W, H = 96, 64
+    luma = rng.integers(0, 256, (H, W)).astype(np.int32)
+    chroma = rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+    for cs in (4, 8, 16):
+        xs, ys = refs.block_grid(W, H, cs, 1)
+        masks = refs.avail_masks(W, H, cs, 1, 5)
+        for mode in (81, 82, 83):
+            ref = np_ops.predict_cclm_np(mode, luma, chroma, xs, ys, cs,
+                                         masks)
+            dev = np.asarray(intra_pred.predict_cclm(
+                mode, jnp.asarray(luma), jnp.asarray(chroma),
+                xs, ys, cs, masks))
+            assert (ref == dev).all(), (cs, mode)

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import intra_mats
+from ..core import tables
 
 
 @functools.lru_cache(maxsize=None)
@@ -71,3 +72,155 @@ def _predict_modes(v, mode_ids, size, c_idx):
                     preferred_element_type=jnp.float32).astype(jnp.int32)
     p2 = (x2 + m["B2"][mode_ids] * p1 + 32) >> 6
     return jnp.clip(p2, 0, 255)
+
+
+def _ilog2_u8(v):
+    """floor(log2(v)) for int arrays with 0 <= v <= 255 (0 -> 0), exact
+    integer formulation (comparison ladder; no float log)."""
+    v = jnp.maximum(v, 1)
+    return sum((v >= (1 << b)).astype(jnp.int32) for b in range(1, 9))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 7))
+def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32):
+    """Batched bit-exact CCLM prediction on device — the jnp twin of
+    np_ops.predict_cclm_np (spec/intra.py predict_cclm;
+    intra_predictor.rs:1604-2056), golden-tested against it. One mode
+    (81 LT / 82 L / 83 T) for the whole batch; cs >= 4.
+
+    luma/chroma: full (recon) planes; (xs, ys): chroma block positions;
+    masks: (B, 4*cs+1) availability rows (refs.avail_masks geometry).
+    Completes the device kernel set needed by an on-device commit
+    wavefront (every other prediction mode already runs on device).
+    """
+    assert cs >= 4
+    luma = luma.astype(jnp.int32)
+    chroma = chroma.astype(jnp.int32)
+    H, W = luma.shape
+    xs = jnp.asarray(xs, jnp.int32)
+    ys = jnp.asarray(ys, jnp.int32)
+    masks = jnp.asarray(masks)
+    B = xs.shape[0]
+    lx, ly = 2 * xs, 2 * ys
+    tw = th = cs
+
+    avail_l = masks[:, 1].astype(bool)
+    avail_t = masks[:, 1 + 2 * cs].astype(bool)
+    nbl = jnp.cumprod(masks[:, 1 + cs:1 + 2 * cs], axis=1).sum(1)
+    ntr = jnp.cumprod(masks[:, 1 + 3 * cs:1 + 4 * cs], axis=1).sum(1)
+
+    if mode == 81:
+        num_t = jnp.where(avail_t, tw, 0)
+        num_l = jnp.where(avail_l, th, 0)
+    elif mode == 83:
+        num_t = jnp.where(avail_t, tw + jnp.minimum(ntr, th), 0)
+        num_l = jnp.zeros(B, jnp.int32)
+    else:  # 82
+        num_t = jnp.zeros(B, jnp.int32)
+        num_l = jnp.where(avail_l, th + jnp.minimum(nbl, tw), 0)
+    empty = (num_t == 0) & (num_l == 0)
+    num4 = (~(avail_t & avail_l & (mode == 81))).astype(jnp.int32)
+
+    def picks(num):
+        start = num >> (2 + num4)
+        step = jnp.maximum(num >> (1 + num4), 1)
+        cnt = jnp.minimum((1 + num4) << 1, num)
+        j = jnp.arange(4)[None, :]
+        return cnt, start[:, None] + j * step[:, None]
+
+    cnt_t, pick_t = picks(num_t)
+    cnt_l, pick_l = picks(num_l)
+
+    def gl(yy, xx):
+        return luma[jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+
+    xg = jnp.arange(cs)[None, :]
+    yg = jnp.arange(cs)[:, None]
+    xc = lx[:, None, None] + 2 * xg[None]
+    xm = xc - 1
+    xm0 = jnp.where(avail_l, lx - 1, lx)
+    xm = jnp.where(xg[None] == 0, xm0[:, None, None], xm)
+    xr = xc + 1
+    r0 = ly[:, None, None] + 2 * yg[None]
+    r1 = r0 + 1
+    p_ds = (gl(r0, xm) + gl(r1, xm) + 2 * gl(r0, xc) + 2 * gl(r1, xc)
+            + gl(r0, xr) + gl(r1, xr) + 4) >> 3
+
+    p = pick_t
+    txc = lx[:, None] + 2 * p
+    txm = jnp.where((p > 0) | avail_l[:, None], txc - 1, lx[:, None])
+    txr = txc + 1
+    ra = (ly - 1)[:, None]
+    rb = (ly - 2)[:, None]
+    ctu_b = ((ly & (ctu_size - 1)) == 0)[:, None]
+    sel_norm = (gl(ra, txm) + gl(rb, txm) + 2 * gl(ra, txc)
+                + 2 * gl(rb, txc) + gl(ra, txr) + gl(rb, txr) + 4) >> 3
+    sel_bdry = (gl(ra, txm) + 2 * gl(ra, txc) + gl(ra, txr) + 2) >> 2
+    sel_y_t = jnp.where(ctu_b, sel_bdry, sel_norm)
+    sel_c_t = chroma[jnp.clip(ys - 1, 0, None)[:, None],
+                     jnp.clip(xs[:, None] + p, 0, W // 2 - 1)]
+
+    q = pick_l
+    lr0 = ly[:, None] + 2 * q
+    lr1 = lr0 + 1
+    c1_ = jnp.clip(lx - 1, 0, None)[:, None]
+    c2_ = jnp.clip(lx - 2, 0, None)[:, None]
+    c3_ = jnp.clip(lx - 3, 0, None)[:, None]
+    sel_y_l = (gl(lr0, c3_) + gl(lr1, c3_) + 2 * gl(lr0, c2_)
+               + 2 * gl(lr1, c2_) + gl(lr0, c1_) + gl(lr1, c1_) + 4) >> 3
+    sel_c_l = chroma[jnp.clip(ys[:, None] + q, 0, H // 2 - 1),
+                     jnp.clip(xs - 1, 0, None)[:, None]]
+
+    j = jnp.arange(4)[None, :]
+    from_top = j < cnt_t[:, None]
+    li = jnp.clip(j - cnt_t[:, None], 0, 3)
+    rows = jnp.arange(B)[:, None]
+    sel_y = jnp.where(from_top, sel_y_t, sel_y_l[rows, li])
+    sel_c = jnp.where(from_top, sel_c_t, sel_c_l[rows, li])
+
+    # 4-point min/max network (exact spec comparison/swap order)
+    mn0 = jnp.zeros(B, jnp.int32)
+    mn1 = jnp.full(B, 2, jnp.int32)
+    mx0 = jnp.ones(B, jnp.int32)
+    mx1 = jnp.full(B, 3, jnp.int32)
+    r = jnp.arange(B)
+
+    def g(idx):
+        return sel_y[r, idx]
+
+    sw = g(mn0) > g(mn1)
+    mn0, mn1 = jnp.where(sw, mn1, mn0), jnp.where(sw, mn0, mn1)
+    sw = g(mx0) > g(mx1)
+    mx0, mx1 = jnp.where(sw, mx1, mx0), jnp.where(sw, mx0, mx1)
+    sw = g(mn0) > g(mx1)
+    mn0, mx0 = jnp.where(sw, mx0, mn0), jnp.where(sw, mn0, mx0)
+    mn1, mx1 = jnp.where(sw, mx1, mn1), jnp.where(sw, mn1, mx1)
+    sw = g(mn1) > g(mx0)
+    mn1, mx0 = jnp.where(sw, mx0, mn1), jnp.where(sw, mn1, mx0)
+
+    max_y = (g(mx0) + g(mx1) + 1) >> 1
+    max_c = (sel_c[r, mx0] + sel_c[r, mx1] + 1) >> 1
+    min_y = (g(mn0) + g(mn1) + 1) >> 1
+    min_c = (sel_c[r, mn0] + sel_c[r, mn1] + 1) >> 1
+
+    diff = max_y - min_y
+    diff_c = max_c - min_c
+    x_ = _ilog2_u8(diff)
+    norm = ((diff << 4) >> jnp.maximum(x_, 0)) & 15
+    x_ = x_ + (norm != 0)
+    y_ = jnp.where(jnp.abs(diff_c) > 0, _ilog2_u8(jnp.abs(diff_c)) + 1, 0)
+    y_s = jnp.maximum(y_, 1)
+    tbl = jnp.asarray(tables.CCLM_DIV_SIG_TABLE)[norm] | 8
+    a0 = jnp.where(diff_c == 0, 0,
+                   (diff_c * tbl + (1 << jnp.maximum(y_ - 1, 0))) >> y_s)
+    low_k = (3 + x_ - y_) < 1
+    a = jnp.where(low_k, jnp.sign(a0) * 15, a0)
+    k = jnp.where(low_k, 1, 3 + x_ - y_)
+    b = min_c - ((a * min_y) >> k)
+    a = jnp.where(diff == 0, 0, a)
+    k = jnp.where(diff == 0, 0, k)
+    b = jnp.where(diff == 0, min_c, b)
+
+    pred = ((p_ds * a[:, None, None]) >> k[:, None, None]) + b[:, None, None]
+    pred = jnp.clip(pred, 0, 255)
+    return jnp.where(empty[:, None, None], 128, pred).astype(jnp.int32)
