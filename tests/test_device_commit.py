@@ -41,3 +41,62 @@ def test_device_commit_matches_numpy_commit(w, h, qp, seed):
                 assert cu.coeffs[c] is None
             else:
                 assert (cu.coeffs[c] == cp[c]).all(), (cu.x, cu.y, c)
+
+
+# ---------------------------------------------------------------- RD engine
+# Production on-device commit (fused lax.scan re-decision wavefront) vs the
+# native C++ RdCommitter at the same operating point (refine margin 0).
+# Costs compare in f32 on device vs f64 in C++, so rare near-ties may pick
+# a different winner; on these synthetic frames the paths agree exactly.
+
+@pytest.mark.parametrize("w,h,qp,seeds", [
+    (96, 64, 32, (21, 4)), (64, 64, 27, (3,)), (64, 96, 37, (8, 9, 10)),
+])
+def test_device_rd_commit_matches_native(w, h, qp, seeds):
+    from wrenc_tpu.entropy import native
+    if not (native.commit_supported() and native.tree_commit_supported()):
+        pytest.skip("native committer unavailable")
+    cfg = EncoderConfig(width=w, height=h, qp=qp)
+    frames = [synth_frame(w, h, seed=s) for s in seeds]
+
+    ws_n = WavefrontSearch(cfg, commit_engine='native')
+    ws_n._refine_margin = 0.0           # compare refine-free vs refine-free
+    out_n = ws_n.encode_frames(frames)
+    modes_n = [[(cu.x, cu.y, cu.tree, cu.luma_mode, cu.chroma_mode)
+                for cu in ws_n._collect_cus(trees)] for trees, _ in out_n]
+    coeffs_n = [[[None if c is None else c.copy() for c in cu.coeffs]
+                 for cu in ws_n._collect_cus(trees)] for trees, _ in out_n]
+
+    ws_d = WavefrontSearch(cfg, commit_engine='device')
+    assert ws_d._device_commit
+    out_d = ws_d.encode_frames(frames)
+
+    for f, ((trees_d, rec_d), (_, rec_n)) in enumerate(zip(out_d, out_n)):
+        cus_d = ws_d._collect_cus(trees_d)
+        for i, cu in enumerate(cus_d):
+            assert (cu.x, cu.y, cu.tree, cu.luma_mode,
+                    cu.chroma_mode) == modes_n[f][i], (f, i, modes_n[f][i])
+            for c in range(3):
+                if coeffs_n[f][i][c] is None:
+                    assert cu.coeffs[c] is None
+                else:
+                    assert (np.asarray(cu.coeffs[c])
+                            == coeffs_n[f][i][c]).all(), (f, cu.x, cu.y, c)
+        for c in range(3):
+            assert (np.asarray(rec_d[c]) == np.asarray(rec_n[c])).all(), \
+                (f, c)
+
+
+def test_device_rd_commit_roundtrip():
+    from wrenc_tpu.encoder import Encoder
+    from wrenc_tpu.decoder import decode_annexb
+
+    cfg = EncoderConfig(width=64, height=64, qp=32)
+    frames = [synth_frame(64, 64, seed=s) for s in (11, 12)]
+    enc = Encoder(cfg, search=WavefrontSearch(cfg, commit_engine='device'))
+    stream, recons = enc.encode(frames)
+    dec = decode_annexb(stream)
+    assert len(dec) == 2
+    for k in range(2):
+        for c in range(3):
+            assert (dec[k][c] == recons[k][c]).all(), (k, c)

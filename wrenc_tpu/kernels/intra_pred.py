@@ -82,7 +82,8 @@ def _ilog2_u8(v):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 7))
-def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32):
+def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
+                 bf=None):
     """Batched bit-exact CCLM prediction on device — the jnp twin of
     np_ops.predict_cclm_np (spec/intra.py predict_cclm;
     intra_predictor.rs:1604-2056), golden-tested against it. One mode
@@ -90,17 +91,28 @@ def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32):
 
     luma/chroma: full (recon) planes; (xs, ys): chroma block positions;
     masks: (B, 4*cs+1) availability rows (refs.avail_masks geometry).
+    Planes may be stacked per frame ((F, H, W) / (F, h, w)) with `bf`
+    giving each block's frame index — the on-device commit wavefront
+    predicts CUs of a whole frame batch in one call.
     Completes the device kernel set needed by an on-device commit
     wavefront (every other prediction mode already runs on device).
     """
     assert cs >= 4
     luma = luma.astype(jnp.int32)
     chroma = chroma.astype(jnp.int32)
-    H, W = luma.shape
+    if luma.ndim == 2:
+        luma = luma[None]
+        chroma = chroma[None]
+    H, W = luma.shape[1:]
     xs = jnp.asarray(xs, jnp.int32)
     ys = jnp.asarray(ys, jnp.int32)
     masks = jnp.asarray(masks)
     B = xs.shape[0]
+    bf = jnp.zeros(B, jnp.int32) if bf is None else jnp.asarray(bf, jnp.int32)
+
+    def _bx(yy):
+        return jnp.broadcast_to(bf.reshape((B,) + (1,) * (yy.ndim - 1)),
+                                yy.shape)
     lx, ly = 2 * xs, 2 * ys
     tw = th = cs
 
@@ -132,7 +144,8 @@ def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32):
     cnt_l, pick_l = picks(num_l)
 
     def gl(yy, xx):
-        return luma[jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+        yy, xx = jnp.broadcast_arrays(yy, xx)
+        return luma[_bx(yy), jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
 
     xg = jnp.arange(cs)[None, :]
     yg = jnp.arange(cs)[:, None]
@@ -157,7 +170,7 @@ def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32):
                 + 2 * gl(rb, txc) + gl(ra, txr) + gl(rb, txr) + 4) >> 3
     sel_bdry = (gl(ra, txm) + 2 * gl(ra, txc) + gl(ra, txr) + 2) >> 2
     sel_y_t = jnp.where(ctu_b, sel_bdry, sel_norm)
-    sel_c_t = chroma[jnp.clip(ys - 1, 0, None)[:, None],
+    sel_c_t = chroma[bf[:, None], jnp.clip(ys - 1, 0, None)[:, None],
                      jnp.clip(xs[:, None] + p, 0, W // 2 - 1)]
 
     q = pick_l
@@ -168,7 +181,7 @@ def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32):
     c3_ = jnp.clip(lx - 3, 0, None)[:, None]
     sel_y_l = (gl(lr0, c3_) + gl(lr1, c3_) + 2 * gl(lr0, c2_)
                + 2 * gl(lr1, c2_) + gl(lr0, c1_) + gl(lr1, c1_) + 4) >> 3
-    sel_c_l = chroma[jnp.clip(ys[:, None] + q, 0, H // 2 - 1),
+    sel_c_l = chroma[bf[:, None], jnp.clip(ys[:, None] + q, 0, H // 2 - 1),
                      jnp.clip(xs - 1, 0, None)[:, None]]
 
     j = jnp.arange(4)[None, :]

@@ -163,12 +163,13 @@ def trellis_depquant(t, ls, bd_shift, lam_dq, log2_n):
         new_cost = jnp.full((B, 8), BIG, dtype=jnp.int32)
         bp_prev = jnp.zeros((B, 8), jnp.int8)
         bp_mag = jnp.zeros((B, 8), jnp.int32)
-        for c, a, mag, nstate in cands:
-            total = cost + c                         # (B, 8) from-state costs
-            # scatter-min into destination states
-            for src in range(8):
+        # relax order matters on TIES: the native/spec quantizer iterates
+        # source state OUTER, k INNER (wrenc_native.cpp wrenc_trellis_quant)
+        # with strict <, so the first (src, k) in that order wins
+        for src in range(8):
+            for c, a, mag, nstate in cands:
                 dst = nstate[:, src]                 # (B,)
-                tot = total[:, src]
+                tot = cost[:, src] + c[:, src]
                 cur = jnp.take_along_axis(new_cost, dst[:, None], axis=1)[:, 0]
                 better = tot < cur
                 new_cost = jnp.where(
@@ -240,6 +241,40 @@ def _dq_rate_scan(q, log2_n, lv_table):
     return rate
 
 
+def dq_rate_device(q, log2_n, lv_table):
+    """RD level-rate of stored q levels (block_splitter.rs:415-471 dep
+    path), log-depth: the dep-quant state walk is a chain of deterministic
+    8-state maps (state = q_state*2 + trailing), so the total rate is a
+    pairwise composition reduce over positions instead of a sequential
+    scan — usable inside an outer lax.scan without serializing. Returns
+    (B,) f32 (same values as dq_rate_scan up to f32 summation order)."""
+    return _dq_rate_device(q, log2_n, lv_table)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _dq_rate_device(q, log2_n, lv_table):
+    B = q.shape[0]
+    order = coding_order(log2_n)
+    P = order.shape[0]
+    v = jnp.abs(q.reshape(B, -1)[:, order].astype(jnp.int32))    # (B, P)
+    trans = jnp.asarray(_q_trans())
+    qs = jnp.arange(8, dtype=jnp.int32) >> 1                     # (8,)
+    tr = (jnp.arange(8) & 1).astype(bool)
+    a = (v[:, :, None] + (qs > 1).astype(jnp.int32)[None, None, :]) // 2
+    r = jnp.where(a == 0,
+                  jnp.where(tr[None, None, :], 0.0, lv_table[0]),
+                  lv_table[jnp.clip(a, 0, 1023)])                # (B, P, 8)
+    n = trans[qs[None, None, :], a & 1] * 2 + \
+        (tr[None, None, :] & (a == 0)).astype(jnp.int32)         # (B, P, 8)
+    while P > 1:   # compose adjacent position pairs (earlier, later)
+        n1, n2 = n[:, 0::2], n[:, 1::2]
+        r1, r2 = r[:, 0::2], r[:, 1::2]
+        r = r1 + jnp.take_along_axis(r2, n1, axis=-1)
+        n = jnp.take_along_axis(n2, n1, axis=-1)
+        P //= 2
+    return r[:, 0, 1]    # start state: q_state 0, trailing true
+
+
 @functools.partial(jax.jit, static_argnums=(4,))
 def trellis_depquant_pscan(t, ls, bd_shift, lam_dq, log2_n):
     """Parallel-scan (log-depth) exact 8-state dependent-quantization
@@ -291,9 +326,10 @@ def trellis_depquant_pscan(t, ls, bd_shift, lam_dq, log2_n):
 
     eye8 = jnp.arange(8)
     E = jnp.full((B, P, 8, 8), BIG, jnp.int32)           # [src, dst] costs
-    # 16-slot (k-major, src-minor) edge tables: the sequential kernel's
-    # relax order is k outer / src inner, so destination TIES must resolve
-    # to the lowest (k, src) in that order — argmin over this axis does
+    # 16-slot (src-major, k-minor) edge tables: the native/spec kernel's
+    # relax order is source state OUTER / k INNER (wrenc_native.cpp
+    # wrenc_trellis_quant), so destination TIES must resolve to the lowest
+    # (src, k) in that order — argmin over slot = 2*src + k does
     E16 = jnp.full((B, P, 16, 8), BIG, jnp.int32)
     M16 = jnp.zeros((B, P, 16, 8), jnp.int32)
     for k in (0, 1):
@@ -303,10 +339,10 @@ def trellis_depquant_pscan(t, ls, bd_shift, lam_dq, log2_n):
         hot = eye8[None, None, None, :] == nstate[..., None]  # (B,P,8,8)
         ck = jnp.where(hot, c[..., None], BIG)
         mk = jnp.where(hot, mag[..., None], 0)
-        better = ck < E                                   # strict <: k0 wins
+        better = ck < E                                   # values: ties moot
         E = jnp.where(better, ck, E)
-        E16 = E16.at[:, :, 8 * k:8 * k + 8, :].set(ck)
-        M16 = M16.at[:, :, 8 * k:8 * k + 8, :].set(mk)
+        E16 = E16.at[:, :, k::2, :].set(ck)
+        M16 = M16.at[:, :, k::2, :].set(mk)
 
     # ---- prefix min-plus products (normalized per prefix to stay int32)
     def combine(Aa, Bb):
@@ -326,7 +362,7 @@ def trellis_depquant_pscan(t, ls, bd_shift, lam_dq, log2_n):
     v0 = jnp.full((8,), BIG, jnp.int32).at[1].set(0)
     v_prev = jnp.concatenate(
         [jnp.broadcast_to(v0, (B, 1, 8)), v[:, :-1, :]], axis=1)
-    slot_src = jnp.tile(jnp.arange(8), 2)                 # (16,)
+    slot_src = jnp.repeat(jnp.arange(8), 2)               # (16,)
     f16 = jnp.argmin(v_prev[:, :, slot_src, None] + E16,
                      axis=-2).astype(jnp.int32)           # (B, P, 8)
     f = slot_src[f16]

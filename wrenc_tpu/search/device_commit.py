@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from ..kernels import intra_pred, quantize as kq, refs, transforms
 from ..spec import quant
 
+BIG_COST = np.float32(3e38)
+
 
 def _buckets(n):
     b = 1
@@ -208,3 +210,499 @@ def commit_frame_device(cfg, orig_planes, cus, rate_model=None):
     return [np.asarray(planes[0][:-1]).reshape(H, W),
             np.asarray(planes[1][:-1]).reshape(H // 2, W // 2),
             np.asarray(planes[2][:-1]).reshape(H // 2, W // 2)]
+
+
+# ===================================================================== RD
+# Production on-device commit: the native C++ RdCommitter's re-decision
+# discipline (wrenc_native.cpp RdCommitter; the reference's
+# block_splitter.rs:110 true-reconstruction decisions) reformulated as ONE
+# jitted lax.scan over dependency ranks. Each step re-ranks every CU's
+# stage-A candidate list by full trellis RD (parallel-scan Viterbi — no
+# sequential inner loops) with the exact MPM-aware mode-bit model read
+# from an evolving device mode map, re-decides derived-vs-CCLM chroma,
+# and scatters reconstruction + coefficients. Covers the production
+# operating point (commit_rank_full=1, commit_rank_trellis=1,
+# commit_chroma_redecide=1); split refinement is a host-search knob the
+# device engine runs with margin 0 (no refine nodes).
+
+def _cost16384(ssd, level, mb16384, lam):
+    # C++: (double)ssd + lam * ((double)(level + (int64)(mb*16384)) / 16384)
+    return ssd.astype(jnp.float32) + lam * ((level + mb16384) / 16384.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _cell_table(W, H, s, log2_ctu):
+    """(N, (s/4)^2) flat 4x4-cell indices of each aligned luma block — the
+    mode-map scatter rows (RdCommitter::set_mode_map granularity)."""
+    xs, ys = refs.block_grid(W, H, s, 0)
+    n4w = W >> 2
+    n4 = max(s >> 2, 1)
+    d = np.arange(n4)
+    rows = ((ys[:, None, None] >> 2) + d[None, :, None]) * n4w \
+        + (xs[:, None, None] >> 2) + d[None, None, :]
+    return rows.reshape(len(xs), -1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _mpm_bits16384(key_consts):
+    """(67, 67, 67) f32 table of trunc(mode_bits * 16384) for coding `mode`
+    given (left, above) neighbour modes — computed in float64 exactly as
+    the native committer (RdCommitter::luma_mode_bits) so the int64
+    truncation matches bit-for-bit (values < 2^24, exact in f32)."""
+    (po, npo, mio, mip, mrm, mro, mrp) = key_consts
+    from ..entropy.syntax import derive_mpm_list
+    modes = np.arange(67, dtype=np.float64)
+    T = np.empty((67, 67, 67), dtype=np.float32)
+    for l in range(67):
+        for a in range(67):
+            cand = derive_mpm_list(l, a)
+            srt = np.sort(cand)
+            rem = modes - 1 - np.searchsorted(srt, modes, side='left')
+            row = npo + mrm * (rem + mro) ** mrp
+            for idx, m in reversed(list(enumerate(cand))):
+                row[m] = npo + (idx + mio) ** mip
+            row[0] = po
+            T[l, a] = np.trunc(row * 16384.0)
+    return T
+
+
+def _pow2(n, lo=8):
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+@functools.lru_cache(maxsize=None)
+def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
+    """Jitted rank-wavefront RD commit. caps: tuple of ((tree, log2), cap)
+    with tree in 'S' (single: luma+chroma), 'L' (dual luma), 'C' (SCIPU
+    chroma). Geometry (gather/scatter/cell/mask tables) is baked in;
+    QP/rate-model values are traced arguments."""
+    HW, hw = H * W, (H // 2) * (W // 2)
+    n4 = (W >> 2) * (H >> 2)
+    classes = [k for k, cap in caps if cap > 0]
+    capd = dict(caps)
+
+    geo = {}
+    for (tree, log2) in classes:
+        s = 1 << log2
+        if tree != 'C':
+            geo[(tree, log2, 0)] = _geometry(W, H, s, 0, log2_ctu) \
+                + (_cell_table(W, H, s, log2_ctu),)
+        if tree != 'L':
+            cs = s >> 1 if tree == 'S' else 4
+            geo[(tree, log2, 1)] = _geometry(W, H, cs, 1, log2_ctu)
+
+    def build_v(plane, bf, bi, g):
+        src, fill = g[0], g[1]
+        pi, ni, keep = g[2], g[3], g[4]
+        u = jnp.where(jnp.asarray(fill)[bi][:, None], 128,
+                      plane[bf[:, None], jnp.asarray(src)[bi]])
+        uf = jnp.where(jnp.asarray(keep)[None, :], u,
+                       (u[:, jnp.asarray(pi)] + 2 * u
+                        + u[:, jnp.asarray(ni)] + 2) >> 2)
+        return jnp.concatenate([u, uf], axis=1)
+
+    def tq_rd(pred, orig, ls, bd, lam_dq, lv, log2):
+        """pred/orig (B, s*s) -> (q (B,s,s) i16, rec (B,s*s) i32,
+        ssd (B,) i32, level (B,) f32): trellis encode + RD level rate."""
+        s = 1 << log2
+        res = (orig - pred).reshape(-1, s, s)
+        t = transforms._forward(res)
+        q = kq.trellis_depquant_pscan(t, ls, bd, lam_dq, log2)
+        level = kq.dq_rate_device(q, log2, lv)
+        d = kq.dequantize(q, ls, bd)
+        r = transforms._inverse(d)
+        rec = jnp.clip(pred.reshape(-1, s, s) + r, 0, 255).reshape(
+            pred.shape[0], -1)
+        ssd = ((rec - orig) ** 2).sum(1)
+        return q, rec, ssd, level
+
+    def cclm_redecide(planes, bf, bi, g, cs, ocb, ocr, cost_d, args):
+        """Best-of-3 CCLM by prediction SAD, full RD of the pick, compare
+        to the derived cost (derived wins ties) — RdCommitter tail."""
+        lam_dq, lv, lam, ls_c, bd_c, cclm_mb = args
+        masks, gxs, gys = g[7], g[8], g[9]
+        log2c = cs.bit_length() - 1
+        luma3 = planes[0][:, :-1].reshape(F, H, W)
+        cb3 = planes[1][:, :-1].reshape(F, H // 2, W // 2)
+        cr3 = planes[2][:, :-1].reshape(F, H // 2, W // 2)
+        mk = jnp.asarray(masks)[bi]
+        gx = jnp.asarray(gxs)[bi]
+        gy = jnp.asarray(gys)[bi]
+        pcb, pcr = [], []
+        for m in (81, 82, 83):
+            pcb.append(intra_pred.predict_cclm(
+                m, luma3, cb3, gx, gy, cs, mk, 1 << log2_ctu, bf))
+            pcr.append(intra_pred.predict_cclm(
+                m, luma3, cr3, gx, gy, cs, mk, 1 << log2_ctu, bf))
+        pcb = jnp.stack(pcb, 1).reshape(-1, 3, cs * cs)    # (B, 3, P)
+        pcr = jnp.stack(pcr, 1).reshape(-1, 3, cs * cs)
+        sad = (jnp.abs(pcb - ocb[:, None, :]).sum(2)
+               + jnp.abs(pcr - ocr[:, None, :]).sum(2))    # (B, 3)
+        pick = jnp.argmin(sad, axis=1)                     # 81 wins ties
+        B = pick.shape[0]
+        pb = pcb[jnp.arange(B), pick]
+        pr = pcr[jnp.arange(B), pick]
+        qcb, rcb, scb, lcb = tq_rd(pb, ocb, ls_c, bd_c, lam_dq, lv, log2c)
+        qcr, rcr, scr, lcr = tq_rd(pr, ocr, ls_c, bd_c, lam_dq, lv, log2c)
+        cost_c = _cost16384(scb + scr, lcb + lcr, cclm_mb[pick], lam)
+        use = cost_c < cost_d                              # derived wins ties
+        return use, 81 + pick, (qcb, rcb), (qcr, rcr)
+
+    def run_impl(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T,
+                 cclm_mb, ncc):
+        planes0 = (jnp.zeros((F, HW + 1), jnp.int32),
+                   jnp.zeros((F, hw + 1), jnp.int32),
+                   jnp.zeros((F, hw + 1), jnp.int32))
+        mm0 = jnp.zeros((F, n4 + 1), jnp.int32)
+
+        def step(carry, xt):
+            ry, rcb, rcr, mm = carry
+            planes = [ry, rcb, rcr]
+            out = {}
+            for ck in classes:
+                tree, log2 = ck
+                cap = capd[ck]
+                x = xt[ck]
+                valid = x['valid']
+                bf = x['bf']
+                bi = x['bi']
+                s = 1 << log2
+                cs = (s >> 1) if tree == 'S' else 4
+                ls_c = ls_tab[1, (cs.bit_length() - 1) - 2]
+                bd_c = bd_tab[1, (cs.bit_length() - 1) - 2]
+                o = {}
+                if tree != 'C':
+                    # ---------------- luma candidate ranking (trellis RD)
+                    g = geo[(tree, log2, 0)]
+                    scat, cells = g[5], g[10]
+                    ls_y = ls_tab[0, log2 - 2]
+                    bd_y = bd_tab[0, log2 - 2]
+                    cands = x['cands']                        # (cap, K)
+                    cl = jnp.clip(cands, 0, 66)
+                    v = build_v(ry, bf, bi, g)
+                    pall = intra_pred._predict_all_modes(v, s, 0)
+                    p6 = jnp.take_along_axis(pall, cl[:, :, None], 1)
+                    orig = oy[bf[:, None], jnp.asarray(scat)[bi]]  # (cap,P)
+                    o6 = jnp.broadcast_to(orig[:, None, :],
+                                          (cap, n_cand, s * s))
+                    qy, recy, ssd, level = tq_rd(
+                        p6.reshape(-1, s * s), o6.reshape(-1, s * s),
+                        ls_y, bd_y, lam_dq, lv, log2)
+                    l = jnp.where(x['li'] < 0, 0,
+                                  mm[bf, jnp.clip(x['li'], 0)])
+                    a = jnp.where(x['ai'] < 0, 0,
+                                  mm[bf, jnp.clip(x['ai'], 0)])
+                    mb = T[l[:, None], a[:, None], cl]        # (cap, K)
+                    cost = _cost16384(ssd.reshape(cap, n_cand),
+                                      level.reshape(cap, n_cand), mb, lam)
+                    if tree == 'S':
+                        # chroma (derived mode) folded into the ranking
+                        gc = geo[(tree, log2, 1)]
+                        vcb = build_v(rcb, bf, bi, gc)
+                        vcr = build_v(rcr, bf, bi, gc)
+                        ocb_b = ocb[bf[:, None], jnp.asarray(gc[5])[bi]]
+                        ocr_b = ocr[bf[:, None], jnp.asarray(gc[5])[bi]]
+                        pcb6 = jnp.take_along_axis(
+                            intra_pred._predict_all_modes(vcb, cs, 1),
+                            cl[:, :, None], 1)
+                        pcr6 = jnp.take_along_axis(
+                            intra_pred._predict_all_modes(vcr, cs, 1),
+                            cl[:, :, None], 1)
+                        o6cb = jnp.broadcast_to(ocb_b[:, None, :],
+                                                (cap, n_cand, cs * cs))
+                        o6cr = jnp.broadcast_to(ocr_b[:, None, :],
+                                                (cap, n_cand, cs * cs))
+                        qcb, reccb, ssdcb, lvlcb = tq_rd(
+                            pcb6.reshape(-1, cs * cs),
+                            o6cb.reshape(-1, cs * cs),
+                            ls_c, bd_c, lam_dq, lv, cs.bit_length() - 1)
+                        qcr, reccr, ssdcr, lvlcr = tq_rd(
+                            pcr6.reshape(-1, cs * cs),
+                            o6cr.reshape(-1, cs * cs),
+                            ls_c, bd_c, lam_dq, lv, cs.bit_length() - 1)
+                        ssd_c = (ssdcb + ssdcr).reshape(cap, n_cand)
+                        lvl_c = (lvlcb + lvlcr).reshape(cap, n_cand)
+                        cost = cost + _cost16384(ssd_c, lvl_c,
+                                                 jnp.float32(0.0), lam)
+                    cost = jnp.where(cands < 0, BIG_COST, cost)
+                    win = jnp.argmin(cost, axis=1)            # (cap,)
+                    ar = jnp.arange(cap)
+                    m_win = cl[ar, win]
+                    qy_w = qy.reshape(cap, n_cand, s, s)[ar, win]
+                    recy_w = recy.reshape(cap, n_cand, -1)[ar, win]
+                    rows = jnp.where(valid[:, None],
+                                     jnp.asarray(scat)[bi], HW)
+                    ry = ry.at[bf[:, None], rows].set(recy_w)
+                    crow = jnp.where(valid[:, None],
+                                     jnp.asarray(cells)[bi], n4)
+                    mm = mm.at[bf[:, None], crow].set(
+                        jnp.broadcast_to(m_win[:, None], crow.shape))
+                    planes[0] = ry
+                    o['mode'] = m_win
+                    o['qy'] = qy_w
+                    if tree == 'S':
+                        qcb_w = qcb.reshape(cap, n_cand, cs, cs)[ar, win]
+                        qcr_w = qcr.reshape(cap, n_cand, cs, cs)[ar, win]
+                        rcb_w = reccb.reshape(cap, n_cand, -1)[ar, win]
+                        rcr_w = reccr.reshape(cap, n_cand, -1)[ar, win]
+                        cost_d = _cost16384(ssd_c[ar, win],
+                                            lvl_c[ar, win], ncc, lam)
+                        derived = m_win
+                else:
+                    # SCIPU chroma CU: derived from the centre child's mode
+                    g = geo[(tree, log2, 1)]
+                    derived = mm[bf, jnp.clip(x['ci'], 0)]
+                    vcb = build_v(rcb, bf, bi, g)
+                    vcr = build_v(rcr, bf, bi, g)
+                    ocb_b = ocb[bf[:, None], jnp.asarray(g[5])[bi]]
+                    ocr_b = ocr[bf[:, None], jnp.asarray(g[5])[bi]]
+                    pcb = intra_pred._predict_modes(vcb, derived, 4, 1)
+                    pcr = intra_pred._predict_modes(vcr, derived, 4, 1)
+                    qcb_w, rcb_w, scb, lcb = tq_rd(pcb, ocb_b, ls_c, bd_c,
+                                                   lam_dq, lv, 2)
+                    qcr_w, rcr_w, scr, lcr = tq_rd(pcr, ocr_b, ls_c, bd_c,
+                                                   lam_dq, lv, 2)
+                    cost_d = _cost16384(scb + scr, lcb + lcr, ncc, lam)
+
+                if tree != 'L':
+                    gc = geo[(tree, log2, 1)]
+                    cmode = derived
+                    if cclm_enabled:
+                        planes[1], planes[2] = rcb, rcr
+                        use, cm_c, (qcb_c, rcb_c), (qcr_c, rcr_c) = \
+                            cclm_redecide(planes, bf, bi, gc, cs, ocb_b,
+                                          ocr_b, cost_d,
+                                          (lam_dq, lv, lam, ls_c, bd_c,
+                                           cclm_mb))
+                        cmode = jnp.where(use, cm_c, derived)
+                        qcb_w = jnp.where(use[:, None, None], qcb_c, qcb_w)
+                        qcr_w = jnp.where(use[:, None, None], qcr_c, qcr_w)
+                        rcb_w = jnp.where(use[:, None], rcb_c, rcb_w)
+                        rcr_w = jnp.where(use[:, None], rcr_c, rcr_w)
+                    crows = jnp.where(valid[:, None],
+                                      jnp.asarray(gc[5])[bi], hw)
+                    rcb = rcb.at[bf[:, None], crows].set(rcb_w)
+                    rcr = rcr.at[bf[:, None], crows].set(rcr_w)
+                    planes[1], planes[2] = rcb, rcr
+                    o['cmode'] = cmode
+                    o['qcb'] = qcb_w
+                    o['qcr'] = qcr_w
+                out[ck] = o
+            return (ry, rcb, rcr, mm), out
+
+        carry, ys = jax.lax.scan(step, (planes0[0], planes0[1], planes0[2],
+                                        mm0), xs)
+        return carry[:3], ys
+
+    return jax.jit(run_impl)
+
+
+def _collect_leaf_cus(trees):
+    out = []
+
+    def walk(n):
+        if getattr(n, 'refine', False):
+            raise ValueError("device RD commit needs refine-free trees "
+                             "(run the search with split_refine_margin=0)")
+        if n.split:
+            for c in n.children:
+                walk(c)
+        elif n.cu is not None:
+            out.append(n.cu)
+    for t in trees:
+        walk(t)
+    return out
+
+
+def _cu_ranks(cus, W, H):
+    """Dependency rank per CU over 4x4 cells (WavefrontSearch._commit)."""
+    rank_grid = np.zeros((H // 4, W // 4), dtype=np.int32)
+    ranks = np.zeros(len(cus), dtype=np.int32)
+    for i, cu in enumerate(cus):
+        s = 1 << cu.log2
+        x4, y4, n4 = cu.x // 4, cu.y // 4, max(s // 4, 1)
+        r = 0
+        if cu.x > 0:
+            col = rank_grid[max(y4 - 1, 0):min(y4 + 2 * n4, H // 4), x4 - 1]
+            if col.size:
+                r = max(r, int(col.max()))
+        if cu.y > 0:
+            row = rank_grid[y4 - 1, max(x4 - 1, 0):min(x4 + 2 * n4, W // 4)]
+            if row.size:
+                r = max(r, int(row.max()))
+        own = rank_grid[y4:y4 + n4, x4:x4 + n4]
+        if own.size:
+            r = max(r, int(own.max()))
+        ranks[i] = r + 1
+        region = rank_grid[y4:y4 + n4, x4:x4 + n4]
+        rank_grid[y4:y4 + n4, x4:x4 + n4] = np.maximum(region, ranks[i])
+    return ranks
+
+
+_T16384_DEV = {}
+_CONST_DEV = {}
+
+
+def commit_frames_device_rd(cfg, origs, all_trees):
+    """Re-decision commit of every frame's tree on device, one fused scan.
+
+    Equivalent decision discipline to the native RdCommitter at the
+    production operating point (rank_full + rank_trellis + chroma
+    redecide, no refine nodes): per CU the stage-A candidate list is
+    re-ranked by full trellis RD (luma + derived chroma) with exact
+    MPM-aware mode bits on the TRUE reconstruction, then derived-vs-CCLM
+    chroma is re-decided. Cost comparisons run in f32 (the C++ uses f64),
+    so rare near-ties may pick a different — equally coded — winner.
+    Updates cu.luma_mode/chroma_mode/coeffs in place; returns per-frame
+    (ry, rcb, rcr) recon planes like commit_frames_tree_native.
+    """
+    W, H = cfg.width, cfg.height
+    rm = cfg.rate_model
+    dep = cfg.dep_quant_enabled
+    F = len(origs)
+    Fp = _pow2(F, 1)
+    HW, hw = H * W, (H // 2) * (W // 2)
+    n4w = W >> 2
+    n4 = n4w * (H >> 2)
+    ctu = cfg.ctu_size
+
+    # ---------------- schedule: per-class padded per-rank worklists
+    per_frame = [(f, _collect_leaf_cus(trees))
+                 for f, trees in enumerate(all_trees)]
+    items = {}          # class -> list of (rank, f, cu)
+    R = 0
+    for f, cus in per_frame:
+        ranks = _cu_ranks(cus, W, H)
+        R = max(R, int(ranks.max()) if len(ranks) else 0)
+        for cu, r in zip(cus, ranks):
+            if cu.tree == 'C':
+                ck = ('C', 3)
+            elif cu.tree == 'L':
+                ck = ('L', cu.log2)
+            else:
+                ck = ('S', cu.log2)
+            items.setdefault(ck, []).append((int(r) - 1, f, cu))
+    R = -(-R // 16) * 16
+
+    n_cand = 1
+    for ck, lst in items.items():
+        if ck[0] != 'C':
+            n_cand = max(n_cand, len(lst[0][2].cands))
+
+    caps = []
+    counts = {}
+    for ck, lst in items.items():
+        cnt = np.zeros(R, np.int32)
+        for r, f, cu in lst:
+            cnt[r] += 1
+        counts[ck] = cnt
+        caps.append((ck, _pow2(int(cnt.max()))))
+    caps = tuple(sorted(caps))
+
+    xs = {}
+    entries = {}        # class -> list of (step, slot, cu)
+    for ck, cap in caps:
+        tree, log2 = ck
+        s = 1 << log2
+        x = {'valid': np.zeros((R, cap), bool),
+             'bf': np.zeros((R, cap), np.int32),
+             'bi': np.zeros((R, cap), np.int32)}
+        if tree != 'C':
+            x['cands'] = np.full((R, cap, n_cand), -1, np.int32)
+            x['li'] = np.full((R, cap), -1, np.int32)
+            x['ai'] = np.full((R, cap), -1, np.int32)
+        else:
+            x['ci'] = np.zeros((R, cap), np.int32)
+        ent = []
+        fill = np.zeros(R, np.int32)
+        nbw = W // s if tree != 'C' else W // 8
+        for r, f, cu in items[ck]:
+            k = fill[r]
+            fill[r] += 1
+            x['valid'][r, k] = True
+            x['bf'][r, k] = f
+            x['bi'][r, k] = (cu.y // s) * nbw + cu.x // s if tree != 'C' \
+                else (cu.y // 8) * nbw + cu.x // 8
+            if tree != 'C':
+                cl = np.asarray(cu.cands, np.int32)
+                x['cands'][r, k, :len(cl)] = cl
+                if cu.x > 0:
+                    x['li'][r, k] = ((cu.y + s - 1) >> 2) * n4w \
+                        + ((cu.x - 1) >> 2)
+                if cu.y > 0 and (cu.y & (ctu - 1)) != 0:
+                    x['ai'][r, k] = ((cu.y - 1) >> 2) * n4w \
+                        + ((cu.x + s - 1) >> 2)
+            else:
+                x['ci'][r, k] = ((cu.y + 4) >> 2) * n4w + ((cu.x + 4) >> 2)
+            ent.append((r, k, cu))
+        xs[ck] = x
+        entries[ck] = ent
+
+    # ---------------- quant / rate-model arguments (traced)
+    qp = cfg.qp
+    qp_c = quant.chroma_qp_from_luma(qp)
+    ls_tab = np.zeros((2, 4), np.int32)
+    bd_tab = np.zeros((2, 4), np.int32)
+    for c in (0, 1):
+        for lg in (2, 3, 4, 5):
+            qpar = quant.derive_quant_params(
+                qp if c == 0 else qp_c, lg, lg, dep_quant=dep,
+                transform_skip=False)
+            ls_tab[c, lg - 2] = qpar.ls
+            bd_tab[c, lg - 2] = qpar.bd_shift
+    key = (rm.pick('planar_offset', dep, True),
+           rm.pick('non_planar_offset', dep, True),
+           rm.pick('mpm_idx_offset', dep, True), rm.mpm_idx_pow,
+           rm.pick('mpm_remainder_mult', dep, True),
+           rm.pick('mpm_remainder_offset', dep, True),
+           rm.mpm_remainder_pow)
+    if key not in _T16384_DEV:
+        _T16384_DEV[key] = jnp.asarray(_mpm_bits16384(key))
+    T = _T16384_DEV[key]
+    ck2 = ('consts', qp, dep, id(rm))
+    if ck2 not in _CONST_DEV:
+        lam = np.float32(2.0 ** (qp / rm.pick('qp_div', dep, True))
+                         * rm.pick('lambda_mul', dep, True))
+        co = rm.pick('cclm_offset', dep, True)
+        cio = rm.pick('cclm_mode_idx_offset', dep, True)
+        cclm_mb = np.float32([int((co + (i + cio) ** rm.cclm_pow) * 16384.0)
+                              for i in range(3)])
+        ncc = np.float32(int(rm.pick('non_cclm_offset', dep, True) * 16384.0)
+                         if cfg.cclm_enabled else 0.0)
+        _CONST_DEV[ck2] = (
+            lam, jnp.asarray(cclm_mb), ncc,
+            jnp.asarray(kq.lam_dq_table(rm, qp, trellis=True)),
+            jnp.asarray(kq.lv_table_device(rm, dep, True)))
+    lam, cclm_mb, ncc, lam_dq, lv = _CONST_DEV[ck2]
+
+    oy = np.stack([np.asarray(o[0], np.int32).reshape(-1) for o in origs])
+    ocb = np.stack([np.asarray(o[1], np.int32).reshape(-1) for o in origs])
+    ocr = np.stack([np.asarray(o[2], np.int32).reshape(-1) for o in origs])
+    if Fp > F:
+        oy = np.concatenate([oy, np.repeat(oy[-1:], Fp - F, 0)])
+        ocb = np.concatenate([ocb, np.repeat(ocb[-1:], Fp - F, 0)])
+        ocr = np.concatenate([ocr, np.repeat(ocr[-1:], Fp - F, 0)])
+
+    run = _rd_commit_builder(W, H, cfg.log2_ctu_size, Fp, R, caps, n_cand,
+                             bool(cfg.cclm_enabled))
+    (ry, rcb, rcr), ys = run(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv,
+                             lam, T, cclm_mb, ncc)
+    ys = jax.tree_util.tree_map(np.asarray, ys)
+    ry = np.asarray(ry[:F, :-1]).reshape(F, H, W)
+    rcb = np.asarray(rcb[:F, :-1]).reshape(F, H // 2, W // 2)
+    rcr = np.asarray(rcr[:F, :-1]).reshape(F, H // 2, W // 2)
+
+    for ck, ent in entries.items():
+        o = ys[ck]
+        for r, k, cu in ent:
+            if ck[0] != 'C':
+                cu.luma_mode = int(o['mode'][r, k])
+                cu.coeffs[0] = o['qy'][r, k].copy()
+            if ck[0] != 'L':
+                cu.chroma_mode = int(o['cmode'][r, k])
+                cu.coeffs[1] = o['qcb'][r, k].copy()
+                cu.coeffs[2] = o['qcr'][r, k].copy()
+    return [(ry[f], rcb[f], rcr[f]) for f in range(F)]

@@ -36,16 +36,26 @@ import functools
 
 
 class WavefrontSearch:
-    def __init__(self, cfg, trellis_commit=True, mesh=None, rd_commit=True):
+    def __init__(self, cfg, trellis_commit=True, mesh=None, rd_commit=True,
+                 commit_engine=None):
         """mesh: optional jax.sharding.Mesh with a 'frame' axis — the frame
         batch of stage A is sharded across it (all-intra frames are
         independent, so this is pure data parallelism; SURVEY.md §2.3).
-        Host passes (commit, entropy) are per-frame and unaffected."""
+        Host passes (commit, entropy) are per-frame and unaffected.
+
+        commit_engine: 'native' (threaded C++ RdCommitter, the
+        bit-exactness oracle) or 'device' (the fused lax.scan rank
+        wavefront in search/device_commit.py — same re-decision
+        discipline, refine margin forced to 0). Default from
+        WRENC_COMMIT_ENGINE, else 'native'."""
+        import os
         cfg.validate()
         self.cfg = cfg
         self.mesh = mesh
         self.rm = cfg.rate_model
         self.trellis_commit = trellis_commit
+        self.commit_engine = commit_engine or os.environ.get(
+            'WRENC_COMMIT_ENGINE', 'native')
         # re-decide modes at commit time on the true reconstruction
         # (the reference's decision discipline, block_splitter.rs:110);
         # stage A then only has to get the candidate list right
@@ -77,6 +87,16 @@ class WavefrontSearch:
         # tunable factor now that bits are applied host-side.
         self.mode_bits_scale = getattr(self.rm, 'stage_a_mode_bits_scale',
                                        2.0)
+        use_device = (
+            self.commit_engine == 'device' and self.rd_commit
+            and self.trellis_commit and cfg.dep_quant_enabled
+            and getattr(self.rm, 'commit_rank_full', 0)
+            and getattr(self.rm, 'commit_rank_trellis', 0)
+            and getattr(self.rm, 'commit_chroma_redecide', 0))
+        self._device_commit = bool(use_device)
+        # the device engine has no snapshot/rollback yet: no refine nodes
+        self._refine_margin = (0.0 if self._device_commit
+                               else self.rm.split_refine_margin)
 
     # ------------------------------------------------------------- stage A
     def _approx_mode_bits(self):
@@ -222,6 +242,9 @@ class WavefrontSearch:
         Uses the native C++ commit engine (coding-order walk, threaded
         across frames) when available, else the NumPy rank-wavefront path.
         """
+        if self._device_commit:
+            from .device_commit import commit_frames_device_rd
+            return commit_frames_device_rd(self.cfg, self.batch, all_trees)
         from ..entropy import native
         if native.commit_supported():
             ls_tab = np.zeros((2, 4), dtype=np.int32)
@@ -271,7 +294,7 @@ class WavefrontSearch:
         cost = None
         split = {}
         refine = {}
-        margin = (self.rm.split_refine_margin if self.rd_commit else 0.0)
+        margin = (self._refine_margin if self.rd_commit else 0.0)
         self.cclm_choice = {}
         self.scipu_choice = None
         for s in sizes:
