@@ -97,6 +97,58 @@ def test_dequantize_kernel():
 
 
 @pytest.mark.parametrize("log2", [2, 3, 4, 5])
+def test_dq_rate_device_matches_scan(log2):
+    """The log-depth pairwise-composition level-rate (dq_rate_device, used
+    inside the device-commit scan) must equal the sequential lax.scan walk
+    on random AND adversarial blocks: all-zero, many-zero/DC-only (the
+    trailing-zero rate exemption path), and saturated high levels (the
+    1023 table clip)."""
+    rm = RateModelConfig()
+    rng = np.random.default_rng(31 + log2)
+    s = 1 << log2
+    q = rng.integers(-40, 41, (16, s, s))
+    q[0] = 0                                   # all-zero
+    q[1] = 0
+    q[1, 0, 0] = 3                             # DC-only
+    q[2] = np.where(rng.random((s, s)) < 0.9, 0, q[2])   # sparse
+    q[3] = rng.integers(1800, 2400, (s, s))    # clips at lv[1023]
+    q = q.astype(np.int16)
+    from wrenc_tpu.core import tables
+
+    def exact_rate(qb, lv):
+        """Reference int64 walk (level_rate, wrenc_native.cpp)."""
+        order = np.asarray(kq.coding_order(log2))
+        v = np.abs(qb.reshape(-1)[order].astype(np.int64))
+        qs, trailing, tot = 0, True, 0
+        for x in v:
+            a = (x + (1 if qs > 1 else 0)) // 2
+            if a == 0:
+                if not trailing:
+                    tot += int(lv[0])
+            else:
+                tot += int(lv[min(a, 1023)])
+                trailing = False
+            qs = tables.Q_STATE_TRANS[qs, a & 1]
+        return tot
+
+    for trellis in (False, True):
+        lv = kq.lv_table_device(rm, True, trellis)
+        r_scan = np.asarray(kq.dq_rate_scan(q, log2, lv))
+        r_dev = np.asarray(kq.dq_rate_device(q, log2, lv))
+        ref = np.array([exact_rate(qb, lv) for qb in q], np.float64)
+        # same state walk -> same per-position rates; only f32 summation
+        # ORDER differs. Pairwise summation (dq_rate_device) carries ~100x
+        # less rounding than the sequential scan on saturated 32x32 blocks
+        # (measured: 5e-8 vs 6e-6 relative) — bound each accordingly, and
+        # require exact agreement wherever the total is f32-exact.
+        assert np.allclose(r_scan, ref, rtol=2e-5), (log2, trellis)
+        assert np.allclose(r_dev, ref, rtol=1e-6), (log2, trellis)
+        small = ref < 2 ** 24
+        assert np.array_equal(r_scan[small], r_dev[small]), (log2, trellis)
+        assert np.array_equal(r_scan[small], ref[small]), (log2, trellis)
+
+
+@pytest.mark.parametrize("log2", [2, 3, 4, 5])
 def test_trellis_parallel_scan_matches_sequential(log2):
     """The min-plus associative-scan Viterbi (log-depth, TPU-native) must
     be bit-identical to the sequential lax.scan trellis (itself

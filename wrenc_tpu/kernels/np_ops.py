@@ -116,6 +116,7 @@ def trellis_depquant_np(t, ls, bd_shift, lam_dq, log2_n):
         nb_mag = np.zeros((B, 8), dtype=np.int32)
         zero = tc == 0
         rows = np.arange(B)
+        cands = []
         for k in (0, 1):
             a = np.where(zero, 0, a0 + k)
             mag = np.where(a == 0, 0, 2 * a - delta)
@@ -131,7 +132,12 @@ def trellis_depquant_np(t, ls, bd_shift, lam_dq, log2_n):
                 (trailing_s & (a == 0)).astype(np.int64)
             total = cost + c
             smag = np.where(tc < 0, -mag, mag).astype(np.int32)
-            for src in range(8):
+            cands.append((total, nstate, smag))
+        # relax order matters on TIES: source state OUTER / k INNER with
+        # strict <, matching spec/quant.py, wrenc_native.cpp and the JAX
+        # kernels — the first (src, k) in that order wins
+        for src in range(8):
+            for total, nstate, smag in cands:
                 dst = nstate[:, src]
                 tot = total[:, src]
                 cur = new_cost[rows, dst]

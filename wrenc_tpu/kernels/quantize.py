@@ -356,9 +356,9 @@ def trellis_depquant_pscan(t, ls, bd_shift, lam_dq, log2_n):
     v = pre[:, :, 1, :]                                  # (B, P, 8)
     final_state = jnp.argmin(v[:, P - 1, :], axis=1).astype(jnp.int32)
 
-    # ---- per-position backtrack tables f_p[dst] = best (k, src) slot
-    # (argmin over the 16 k-major/src-minor slots reproduces the
-    # sequential relax order's tie-breaking), then src = slot % 8
+    # ---- per-position backtrack tables f_p[dst] = best (src, k) slot
+    # (argmin over the 16 src-major/k-minor slots, slot = 2*src + k,
+    # reproduces the sequential relax order's tie-breaking)
     v0 = jnp.full((8,), BIG, jnp.int32).at[1].set(0)
     v_prev = jnp.concatenate(
         [jnp.broadcast_to(v0, (B, 1, 8)), v[:, :-1, :]], axis=1)

@@ -662,7 +662,16 @@ def commit_frames_device_rd(cfg, origs, all_trees):
     if key not in _T16384_DEV:
         _T16384_DEV[key] = jnp.asarray(_mpm_bits16384(key))
     T = _T16384_DEV[key]
-    ck2 = ('consts', qp, dep, id(rm))
+    # keyed by the actual constant values (id(rm) can be reused after GC
+    # and never evicts; _T16384_DEV already keys by value)
+    ck2 = ('consts', qp, dep,
+           rm.pick('qp_div', dep, True), rm.pick('lambda_mul', dep, True),
+           rm.pick('cclm_offset', dep, True),
+           rm.pick('cclm_mode_idx_offset', dep, True), rm.cclm_pow,
+           rm.pick('non_cclm_offset', dep, True), bool(cfg.cclm_enabled),
+           rm.quant_qp_div_trellis, rm.quant_lambda_mul_trellis,
+           rm.quant_lambda_offset_trellis, rm.quant_lv_pow,
+           rm.lv_pow_dq_trellis, rm.lv_offset_dq_trellis)
     if ck2 not in _CONST_DEV:
         lam = np.float32(2.0 ** (qp / rm.pick('qp_div', dep, True))
                          * rm.pick('lambda_mul', dep, True))
