@@ -53,10 +53,11 @@ def run_once():
     enc = Encoder(cfg, search=WavefrontSearch(cfg))
 
     n = 16
-    warm = synth_frames(n, W, H, seed=99)
-    enc.encode(warm)  # compile warmup (same batch shape as the timed run)
-
     frames = load_frames(n, W, H)
+    # compile warmup on the SAME content: the device-commit scan geometry
+    # (rank-bucket, per-class caps) is content-dependent, so synthetic
+    # warmup frames would compile a different executable than the timed run
+    enc.encode(frames)
     t0 = time.perf_counter()
     enc.encode(frames)
     dt = time.perf_counter() - t0

@@ -3098,3 +3098,47 @@ extern "C" int wrenc_decode_slice(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Commit-schedule dependency ranks over 4x4 cells — the C twin of
+// search/device_commit._cu_ranks (WavefrontSearch._commit discipline).
+// cu_meta: (N, 4) int32 rows [x, y, log2, is_phantom]; phantoms rank after
+// their own region but leave the grid untouched. ranks_out: (N,) int32.
+extern "C" void wrenc_cu_ranks(const int32_t* cu_meta, int64_t n_cu, int W,
+                               int H, int32_t* ranks_out) {
+  const int gw = W >> 2, gh = H >> 2;
+  std::vector<int32_t> grid((size_t)gw * gh, 0);
+  for (int64_t i = 0; i < n_cu; ++i) {
+    const int32_t* m = cu_meta + i * 4;
+    int x = m[0], y = m[1], s = 1 << m[2], phantom = m[3];
+    int x4 = x >> 2, y4 = y >> 2, n4 = s >> 2 ? s >> 2 : 1;
+    int r = 0;
+    if (x > 0) {
+      int y0 = y4 - 1 < 0 ? 0 : y4 - 1;
+      int y1 = y4 + 2 * n4 < gh ? y4 + 2 * n4 : gh;
+      for (int yy = y0; yy < y1; ++yy) {
+        int v = grid[(size_t)yy * gw + x4 - 1];
+        if (v > r) r = v;
+      }
+    }
+    if (y > 0) {
+      int x0 = x4 - 1 < 0 ? 0 : x4 - 1;
+      int x1 = x4 + 2 * n4 < gw ? x4 + 2 * n4 : gw;
+      const int32_t* row = &grid[(size_t)(y4 - 1) * gw];
+      for (int xx = x0; xx < x1; ++xx)
+        if (row[xx] > r) r = row[xx];
+    }
+    for (int yy = y4; yy < y4 + n4; ++yy)
+      for (int xx = x4; xx < x4 + n4; ++xx) {
+        int v = grid[(size_t)yy * gw + xx];
+        if (v > r) r = v;
+      }
+    ranks_out[i] = r + 1;
+    if (phantom) continue;
+    for (int yy = y4; yy < y4 + n4; ++yy)
+      for (int xx = x4; xx < x4 + n4; ++xx) {
+        int32_t* c = &grid[(size_t)yy * gw + xx];
+        if (r + 1 > *c) *c = r + 1;
+      }
+  }
+}

@@ -222,8 +222,11 @@ def commit_frame_device(cfg, orig_planes, cus, rate_model=None):
 # from an evolving device mode map, re-decides derived-vs-CCLM chroma,
 # and scatters reconstruction + coefficients. Covers the production
 # operating point (commit_rank_full=1, commit_rank_trellis=1,
-# commit_chroma_redecide=1); split refinement is a host-search knob the
-# device engine runs with margin 0 (no refine nodes).
+# commit_chroma_redecide=1, split_refine_margin>0): refine-flagged QT
+# splits are re-decided by evaluating the merged leaf as a non-scattering
+# PHANTOM entry in the same scan and comparing costs on the host; when a
+# merged leaf wins, a second pass (same executable) commits the frozen
+# tree (see commit_frames_device_rd).
 
 def _cost16384(ssd, level, mb16384, lam):
     # C++: (double)ssd + lam * ((double)(level + (int64)(mb*16384)) / 16384)
@@ -349,7 +352,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
         qcr, rcr, scr, lcr = tq_rd(pr, ocr, ls_c, bd_c, lam_dq, lv, log2c)
         cost_c = _cost16384(scb + scr, lcb + lcr, cclm_mb[pick], lam)
         use = cost_c < cost_d                              # derived wins ties
-        return use, 81 + pick, (qcb, rcb), (qcr, rcr)
+        return use, 81 + pick, cost_c, (qcb, rcb), (qcr, rcr)
 
     def run_impl(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T,
                  cclm_mb, ncc):
@@ -396,8 +399,10 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     a = jnp.where(x['ai'] < 0, 0,
                                   mm[bf, jnp.clip(x['ai'], 0)])
                     mb = T[l[:, None], a[:, None], cl]        # (cap, K)
-                    cost = _cost16384(ssd.reshape(cap, n_cand),
-                                      level.reshape(cap, n_cand), mb, lam)
+                    cost_y_mat = _cost16384(ssd.reshape(cap, n_cand),
+                                            level.reshape(cap, n_cand), mb,
+                                            lam)
+                    cost = cost_y_mat
                     if tree == 'S':
                         # chroma (derived mode) folded into the ranking
                         gc = geo[(tree, log2, 1)]
@@ -430,6 +435,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     cost = jnp.where(cands < 0, BIG_COST, cost)
                     win = jnp.argmin(cost, axis=1)            # (cap,)
                     ar = jnp.arange(cap)
+                    cost_y_w = cost_y_mat[ar, win]
                     m_win = cl[ar, win]
                     qy_w = qy.reshape(cap, n_cand, s, s)[ar, win]
                     recy_w = recy.reshape(cap, n_cand, -1)[ar, win]
@@ -443,6 +449,8 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     planes[0] = ry
                     o['mode'] = m_win
                     o['qy'] = qy_w
+                    if tree == 'L':
+                        o['cost'] = cost_y_w
                     if tree == 'S':
                         qcb_w = qcb.reshape(cap, n_cand, cs, cs)[ar, win]
                         qcr_w = qcr.reshape(cap, n_cand, cs, cs)[ar, win]
@@ -470,14 +478,16 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                 if tree != 'L':
                     gc = geo[(tree, log2, 1)]
                     cmode = derived
+                    cost_ch = cost_d
                     if cclm_enabled:
                         planes[1], planes[2] = rcb, rcr
-                        use, cm_c, (qcb_c, rcb_c), (qcr_c, rcr_c) = \
+                        use, cm_c, cost_c, (qcb_c, rcb_c), (qcr_c, rcr_c) = \
                             cclm_redecide(planes, bf, bi, gc, cs, ocb_b,
                                           ocr_b, cost_d,
                                           (lam_dq, lv, lam, ls_c, bd_c,
                                            cclm_mb))
                         cmode = jnp.where(use, cm_c, derived)
+                        cost_ch = jnp.where(use, cost_c, cost_d)
                         qcb_w = jnp.where(use[:, None, None], qcb_c, qcb_w)
                         qcr_w = jnp.where(use[:, None, None], qcr_c, qcr_w)
                         rcb_w = jnp.where(use[:, None], rcb_c, rcb_w)
@@ -490,6 +500,12 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     o['cmode'] = cmode
                     o['qcb'] = qcb_w
                     o['qcr'] = qcr_w
+                    # per-CU RD cost (ssd + lam*(level + mb*16384)/16384
+                    # over active components, no header constant) — the
+                    # refine comparison reads these (RdCommitter::commit_cu
+                    # return value)
+                    o['cost'] = (cost_y_w + cost_ch if tree == 'S'
+                                 else cost_ch)
                 out[ck] = o
             return (ry, rcb, rcr, mm), out
 
@@ -501,27 +517,44 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
 
 
 def _collect_leaf_cus(trees):
+    """Coding-order (cu, is_phantom) pairs. Each refine node contributes
+    its split subtree's CUs normally plus its merged-leaf alternative
+    (alt_cu) as a PHANTOM appended after the subtree: phantoms are
+    evaluated by the scan (full candidate ranking + chroma re-decision)
+    but never scatter — their cost feeds the host refine comparison."""
     out = []
 
     def walk(n):
         if getattr(n, 'refine', False):
-            raise ValueError("device RD commit needs refine-free trees "
-                             "(run the search with split_refine_margin=0)")
-        if n.split:
+            for c in n.children:
+                walk(c)
+            out.append((n.alt_cu, True))
+        elif n.split:
             for c in n.children:
                 walk(c)
         elif n.cu is not None:
-            out.append(n.cu)
+            out.append((n.cu, False))
     for t in trees:
         walk(t)
     return out
 
 
 def _cu_ranks(cus, W, H):
-    """Dependency rank per CU over 4x4 cells (WavefrontSearch._commit)."""
+    """Dependency rank per (cu, is_phantom) over 4x4 cells
+    (WavefrontSearch._commit discipline). Phantoms rank AFTER their own
+    region's committed children (their CCLM chroma probe reads the
+    region's luma reconstruction) and leave the grid untouched — nothing
+    depends on a phantom."""
+    from ..entropy import native
+    if native.available():
+        meta = np.array([(cu.x, cu.y, cu.log2, int(ph)) for cu, ph in cus],
+                        np.int32).reshape(-1, 4)
+        r = native.cu_ranks_native(meta, W, H)
+        if r is not None:
+            return r
     rank_grid = np.zeros((H // 4, W // 4), dtype=np.int32)
     ranks = np.zeros(len(cus), dtype=np.int32)
-    for i, cu in enumerate(cus):
+    for i, (cu, phantom) in enumerate(cus):
         s = 1 << cu.log2
         x4, y4, n4 = cu.x // 4, cu.y // 4, max(s // 4, 1)
         r = 0
@@ -537,6 +570,8 @@ def _cu_ranks(cus, W, H):
         if own.size:
             r = max(r, int(own.max()))
         ranks[i] = r + 1
+        if phantom:
+            continue
         region = rank_grid[y4:y4 + n4, x4:x4 + n4]
         rank_grid[y4:y4 + n4, x4:x4 + n4] = np.maximum(region, ranks[i])
     return ranks
@@ -546,64 +581,59 @@ _T16384_DEV = {}
 _CONST_DEV = {}
 
 
-def commit_frames_device_rd(cfg, origs, all_trees):
-    """Re-decision commit of every frame's tree on device, one fused scan.
+def _build_schedule(cfg, all_trees, floors=None):
+    """Per-class padded per-rank worklists for one scan pass.
 
-    Equivalent decision discipline to the native RdCommitter at the
-    production operating point (rank_full + rank_trellis + chroma
-    redecide, no refine nodes): per CU the stage-A candidate list is
-    re-ranked by full trellis RD (luma + derived chroma) with exact
-    MPM-aware mode bits on the TRUE reconstruction, then derived-vs-CCLM
-    chroma is re-decided. Cost comparisons run in f32 (the C++ uses f64),
-    so rare near-ties may pick a different — equally coded — winner.
-    Updates cu.luma_mode/chroma_mode/coeffs in place; returns per-frame
-    (ry, rcb, rcr) recon planes like commit_frames_tree_native.
-    """
+    floors: optional (R, caps) from a previous pass — the schedule is
+    padded up to them so both passes share ONE compiled executable.
+    Returns (xs, entries, R, caps, n_cand) with entries[ck] a list of
+    (step, slot, cu, is_phantom)."""
     W, H = cfg.width, cfg.height
-    rm = cfg.rate_model
-    dep = cfg.dep_quant_enabled
-    F = len(origs)
-    Fp = _pow2(F, 1)
-    HW, hw = H * W, (H // 2) * (W // 2)
     n4w = W >> 2
-    n4 = n4w * (H >> 2)
     ctu = cfg.ctu_size
-
-    # ---------------- schedule: per-class padded per-rank worklists
     per_frame = [(f, _collect_leaf_cus(trees))
                  for f, trees in enumerate(all_trees)]
-    items = {}          # class -> list of (rank, f, cu)
+    items = {}          # class -> list of (rank, f, cu, is_phantom)
     R = 0
     for f, cus in per_frame:
         ranks = _cu_ranks(cus, W, H)
         R = max(R, int(ranks.max()) if len(ranks) else 0)
-        for cu, r in zip(cus, ranks):
+        for (cu, ph), r in zip(cus, ranks):
             if cu.tree == 'C':
                 ck = ('C', 3)
             elif cu.tree == 'L':
                 ck = ('L', cu.log2)
             else:
                 ck = ('S', cu.log2)
-            items.setdefault(ck, []).append((int(r) - 1, f, cu))
-    R = -(-R // 16) * 16
+            items.setdefault(ck, []).append((int(r) - 1, f, cu, ph))
+    # pad the scan length to a coarse bucket: one compile then serves all
+    # content whose max dependency rank lands in the same bucket (measured
+    # CIF range across clips/QPs: 308-663; 64-steps granularity bounds the
+    # padding waste at <20% while collapsing most (clip, QP) pairs onto a
+    # few cached executables)
+    R = -(-R // 64) * 64
 
     n_cand = 1
     for ck, lst in items.items():
         if ck[0] != 'C':
             n_cand = max(n_cand, len(lst[0][2].cands))
 
-    caps = []
-    counts = {}
+    caps = {}
     for ck, lst in items.items():
         cnt = np.zeros(R, np.int32)
-        for r, f, cu in lst:
+        for r, f, cu, ph in lst:
             cnt[r] += 1
-        counts[ck] = cnt
-        caps.append((ck, _pow2(int(cnt.max()))))
-    caps = tuple(sorted(caps))
+        caps[ck] = _pow2(int(cnt.max()))
+    if floors is not None:
+        R0, caps0 = floors
+        assert R <= R0, "pass-2 rank exceeded pass 1's (ranks only shrink)"
+        R = R0
+        for ck, cap in caps0:
+            caps[ck] = max(caps.get(ck, 0), cap)
+    caps = tuple(sorted(caps.items()))
 
     xs = {}
-    entries = {}        # class -> list of (step, slot, cu)
+    entries = {}
     for ck, cap in caps:
         tree, log2 = ck
         s = 1 << log2
@@ -619,10 +649,13 @@ def commit_frames_device_rd(cfg, origs, all_trees):
         ent = []
         fill = np.zeros(R, np.int32)
         nbw = W // s if tree != 'C' else W // 8
-        for r, f, cu in items[ck]:
+        for r, f, cu, ph in items.get(ck, []):
             k = fill[r]
             fill[r] += 1
-            x['valid'][r, k] = True
+            # phantoms compute (rank + chroma re-decision + cost) but
+            # valid=False routes their scatters to the trailing pad slot:
+            # the reconstruction, mode map and coefficients stay untouched
+            x['valid'][r, k] = not ph
             x['bf'][r, k] = f
             x['bi'][r, k] = (cu.y // s) * nbw + cu.x // s if tree != 'C' \
                 else (cu.y // 8) * nbw + cu.x // 8
@@ -637,9 +670,93 @@ def commit_frames_device_rd(cfg, origs, all_trees):
                         + ((cu.x + s - 1) >> 2)
             else:
                 x['ci'][r, k] = ((cu.y + 4) >> 2) * n4w + ((cu.x + 4) >> 2)
-            ent.append((r, k, cu))
+            ent.append((r, k, cu, ph))
         xs[ck] = x
         entries[ck] = ent
+    return xs, entries, R, caps, n_cand
+
+
+def _resolve_refines(cfg, all_trees, cost_map):
+    """Compare merged-leaf vs split-subtree costs at every refine node
+    (bottom-up, nested refines min-combined) and rewrite the trees in
+    place to the winner — the device analog of RdCommitter::commit_tree's
+    snapshot/rollback (wrenc_native.cpp; block_splitter.rs:1079-1152).
+    Split is kept on ties like the native committer. Returns True if any
+    merged leaf won (the reconstruction then needs a second pass)."""
+    rm, dep = cfg.rate_model, cfg.dep_quant_enabled
+    lam = 2.0 ** (cfg.qp / rm.pick('qp_div', dep, True)) \
+        * rm.pick('lambda_mul', dep, True)
+    hdr = {'S': lam * rm.pick('header_bits', dep, True),
+           'L': lam * rm.pick('header_bits', dep, True) / 3.0,
+           'C': lam * rm.pick('chroma_header_bits', dep, True)}
+    any_leaf = False
+
+    def cost_of(n):
+        nonlocal any_leaf
+        if getattr(n, 'refine', False):
+            cost_split = sum(cost_of(ch) for ch in n.children)
+            cost_leaf = cost_map[id(n.alt_cu)] + hdr['S']
+            n.refine = False
+            if cost_split > cost_leaf:        # ties keep the split
+                any_leaf = True
+                n.split = False
+                n.cu = n.alt_cu
+                n.children = []
+                n.alt_cu = None
+                return cost_leaf
+            n.alt_cu = None
+            return cost_split
+        if n.split:
+            return sum(cost_of(ch) for ch in n.children)
+        return cost_map[id(n.cu)] + hdr[n.cu.tree]
+
+    for trees in all_trees:
+        for t in trees:
+            cost_of(t)
+    return any_leaf
+
+
+def commit_frames_device_rd(cfg, origs, all_trees):
+    """Re-decision commit of every frame's tree on device, one fused scan.
+
+    Equivalent decision discipline to the native RdCommitter at the
+    production operating point (rank_full + rank_trellis + chroma
+    redecide + split refinement): per CU the stage-A candidate list is
+    re-ranked by full trellis RD (luma + derived chroma) with exact
+    MPM-aware mode bits on the TRUE reconstruction, derived-vs-CCLM
+    chroma is re-decided, and refine-flagged QT splits are re-decided by
+    cost comparison against a merged-leaf phantom evaluation (see
+    _resolve_refines). When any merged leaf wins, a second pass commits
+    the frozen tree so the reconstruction every later CU coded against is
+    exactly what a decoder reproduces; both passes share one compiled
+    executable (the pass-2 schedule is padded to pass-1 geometry). Cost
+    comparisons run in f32 (the C++ uses f64), so rare near-ties may pick
+    a different — equally coded — winner. Updates
+    cu.luma_mode/chroma_mode/coeffs and the tree structure in place;
+    returns per-frame (ry, rcb, rcr) like commit_frames_tree_native.
+    """
+    xs, entries, R, caps, n_cand = _build_schedule(cfg, all_trees)
+    recons, cost_map = _run_pass(cfg, origs, xs, entries, R, caps, n_cand)
+    has_refine = any(ph for ent in entries.values() for _, _, _, ph in ent)
+    if not has_refine:
+        return recons
+    if not _resolve_refines(cfg, all_trees, cost_map):
+        return recons
+    xs2, entries2, R2, caps2, _ = _build_schedule(
+        cfg, all_trees, floors=(R, caps))
+    recons2, _ = _run_pass(cfg, origs, xs2, entries2, R2, caps2, n_cand)
+    return recons2
+
+
+def _run_pass(cfg, origs, xs, entries, R, caps, n_cand):
+    """Run one scan pass over a built schedule: launch the jitted rank
+    wavefront, write winner modes/coeffs into the (non-phantom) CU objects
+    and return ([(ry, rcb, rcr)] recon planes, {id(cu): cost})."""
+    W, H = cfg.width, cfg.height
+    rm = cfg.rate_model
+    dep = cfg.dep_quant_enabled
+    F = len(origs)
+    Fp = _pow2(F, 1)
 
     # ---------------- quant / rate-model arguments (traced)
     qp = cfg.qp
@@ -704,9 +821,13 @@ def commit_frames_device_rd(cfg, origs, all_trees):
     rcb = np.asarray(rcb[:F, :-1]).reshape(F, H // 2, W // 2)
     rcr = np.asarray(rcr[:F, :-1]).reshape(F, H // 2, W // 2)
 
+    cost_map = {}
     for ck, ent in entries.items():
         o = ys[ck]
-        for r, k, cu in ent:
+        for r, k, cu, ph in ent:
+            cost_map[id(cu)] = float(o['cost'][r, k])
+            if ph:
+                continue
             if ck[0] != 'C':
                 cu.luma_mode = int(o['mode'][r, k])
                 cu.coeffs[0] = o['qy'][r, k].copy()
@@ -714,4 +835,4 @@ def commit_frames_device_rd(cfg, origs, all_trees):
                 cu.chroma_mode = int(o['cmode'][r, k])
                 cu.coeffs[1] = o['qcb'][r, k].copy()
                 cu.coeffs[2] = o['qcr'][r, k].copy()
-    return [(ry[f], rcb[f], rcr[f]) for f in range(F)]
+    return [(ry[f], rcb[f], rcr[f]) for f in range(F)], cost_map

@@ -94,9 +94,7 @@ class WavefrontSearch:
             and getattr(self.rm, 'commit_rank_trellis', 0)
             and getattr(self.rm, 'commit_chroma_redecide', 0))
         self._device_commit = bool(use_device)
-        # the device engine has no snapshot/rollback yet: no refine nodes
-        self._refine_margin = (0.0 if self._device_commit
-                               else self.rm.split_refine_margin)
+        self._refine_margin = self.rm.split_refine_margin
 
     # ------------------------------------------------------------- stage A
     def _approx_mode_bits(self):
