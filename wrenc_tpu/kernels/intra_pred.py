@@ -21,6 +21,60 @@ def _mats_device(size, c_idx):
     return intra_mats.build_mode_matrices(size, c_idx)
 
 
+@functools.lru_cache(maxsize=None)
+def mats_host_f32(size, c_idx):
+    """Mode matrices with W1/W2 pre-cast to f32 — for passing as TRACED
+    ARGUMENTS to a jit instead of embedding ~180 MB of constants in the
+    program (the axon remote compiler chokes on constant-heavy programs;
+    device-resident parameters also dedupe across executables)."""
+    m = intra_mats.build_mode_matrices(size, c_idx)
+    return {"W1": m["W1"].astype(np.float32),
+            "W2": m["W2"].astype(np.float32),
+            "c1": m["c1"], "s1": m["s1"], "clamp1": m["clamp1"],
+            "B2": m["B2"]}
+
+
+_MATS_DEV_CACHE = {}
+
+
+def mats_device_f32(size, c_idx):
+    """Device-resident f32 mode matrices (one transfer per process)."""
+    key = (size, c_idx)
+    if key not in _MATS_DEV_CACHE:
+        _MATS_DEV_CACHE[key] = jax.device_put(mats_host_f32(size, c_idx))
+    return _MATS_DEV_CACHE[key]
+
+
+def predict_all_modes_m(v, m, size):
+    """67-mode sweep with the matrices as traced arguments.
+    v: (N, 2L) int32, m: dict from mats_host_f32 -> (N, 67, WH) int32."""
+    vf = v.astype(jnp.float32)
+    x1 = jnp.einsum('nl,mlp->nmp', vf, m["W1"],
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    p1 = (x1 + m["c1"][None, :, None]) >> m["s1"][None, :, None]
+    p1 = jnp.where(m["clamp1"][None, :, None], jnp.clip(p1, 0, 255), p1)
+    x2 = jnp.einsum('nl,mlp->nmp', vf, m["W2"],
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    p2 = (x2 + m["B2"][None, :, :] * p1 + 32) >> 6
+    return jnp.clip(p2, 0, 255)
+
+
+def predict_modes_m(v, mode_ids, m):
+    """Per-block single-mode prediction with traced matrices.
+    v: (N, 2L), mode_ids: (N,) -> (N, WH) int32."""
+    W1 = m["W1"][mode_ids]                         # (N, 2L, WH) f32
+    W2 = m["W2"][mode_ids]
+    vf = v.astype(jnp.float32)
+    x1 = jnp.einsum('nl,nlp->np', vf, W1,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    p1 = (x1 + m["c1"][mode_ids][:, None]) >> m["s1"][mode_ids][:, None]
+    p1 = jnp.where(m["clamp1"][mode_ids][:, None], jnp.clip(p1, 0, 255), p1)
+    x2 = jnp.einsum('nl,nlp->np', vf, W2,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    p2 = (x2 + m["B2"][mode_ids] * p1 + 32) >> 6
+    return jnp.clip(p2, 0, 255)
+
+
 def make_v(u, size):
     """v = [u, filtered(u)] (N, 2L) int32 (host-side numpy)."""
     uf = intra_mats.filter_ref_vector(u, size)

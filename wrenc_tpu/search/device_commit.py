@@ -355,7 +355,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
         return use, 81 + pick, cost_c, (qcb, rcb), (qcr, rcr)
 
     def run_impl(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T,
-                 cclm_mb, ncc):
+                 cclm_mb, ncc, mats):
         planes0 = (jnp.zeros((F, HW + 1), jnp.int32),
                    jnp.zeros((F, hw + 1), jnp.int32),
                    jnp.zeros((F, hw + 1), jnp.int32))
@@ -386,7 +386,8 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     cands = x['cands']                        # (cap, K)
                     cl = jnp.clip(cands, 0, 66)
                     v = build_v(ry, bf, bi, g)
-                    pall = intra_pred._predict_all_modes(v, s, 0)
+                    pall = intra_pred.predict_all_modes_m(
+                        v, mats[('y', s)], s)
                     p6 = jnp.take_along_axis(pall, cl[:, :, None], 1)
                     orig = oy[bf[:, None], jnp.asarray(scat)[bi]]  # (cap,P)
                     o6 = jnp.broadcast_to(orig[:, None, :],
@@ -411,10 +412,12 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                         ocb_b = ocb[bf[:, None], jnp.asarray(gc[5])[bi]]
                         ocr_b = ocr[bf[:, None], jnp.asarray(gc[5])[bi]]
                         pcb6 = jnp.take_along_axis(
-                            intra_pred._predict_all_modes(vcb, cs, 1),
+                            intra_pred.predict_all_modes_m(
+                                vcb, mats[('c', cs)], cs),
                             cl[:, :, None], 1)
                         pcr6 = jnp.take_along_axis(
-                            intra_pred._predict_all_modes(vcr, cs, 1),
+                            intra_pred.predict_all_modes_m(
+                                vcr, mats[('c', cs)], cs),
                             cl[:, :, None], 1)
                         o6cb = jnp.broadcast_to(ocb_b[:, None, :],
                                                 (cap, n_cand, cs * cs))
@@ -467,8 +470,10 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     vcr = build_v(rcr, bf, bi, g)
                     ocb_b = ocb[bf[:, None], jnp.asarray(g[5])[bi]]
                     ocr_b = ocr[bf[:, None], jnp.asarray(g[5])[bi]]
-                    pcb = intra_pred._predict_modes(vcb, derived, 4, 1)
-                    pcr = intra_pred._predict_modes(vcr, derived, 4, 1)
+                    pcb = intra_pred.predict_modes_m(vcb, derived,
+                                                     mats[('c', 4)])
+                    pcr = intra_pred.predict_modes_m(vcr, derived,
+                                                     mats[('c', 4)])
                     qcb_w, rcb_w, scb, lcb = tq_rd(pcb, ocb_b, ls_c, bd_c,
                                                    lam_dq, lv, 2)
                     qcr_w, rcr_w, scr, lcr = tq_rd(pcr, ocr_b, ls_c, bd_c,
@@ -812,10 +817,23 @@ def _run_pass(cfg, origs, xs, entries, R, caps, n_cand):
         ocb = np.concatenate([ocb, np.repeat(ocb[-1:], Fp - F, 0)])
         ocr = np.concatenate([ocr, np.repeat(ocr[-1:], Fp - F, 0)])
 
+    # mode matrices as device-resident ARGUMENTS (one transfer per
+    # process) rather than jit constants: keeps the scan program small
+    # enough for the remote compiler and shared across geometry buckets
+    mats = {}
+    for (tree, log2), cap in caps:
+        if cap <= 0:
+            continue
+        if tree != 'C':
+            mats[('y', 1 << log2)] = intra_pred.mats_device_f32(1 << log2, 0)
+        if tree != 'L':
+            cs = (1 << log2) >> 1 if tree == 'S' else 4
+            mats[('c', cs)] = intra_pred.mats_device_f32(cs, 1)
+
     run = _rd_commit_builder(W, H, cfg.log2_ctu_size, Fp, R, caps, n_cand,
                              bool(cfg.cclm_enabled))
     (ry, rcb, rcr), ys = run(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv,
-                             lam, T, cclm_mb, ncc)
+                             lam, T, cclm_mb, ncc, mats)
     ys = jax.tree_util.tree_map(np.asarray, ys)
     ry = np.asarray(ry[:F, :-1]).reshape(F, H, W)
     rcb = np.asarray(rcb[:F, :-1]).reshape(F, H // 2, W // 2)

@@ -372,9 +372,10 @@ class WavefrontSearch:
         lam_dq = self.lam_dq_greedy
         lv = self.lv_greedy
         lam = np.float32(self.lam)
+        mats = {s: intra_pred.mats_device_f32(s, 0) for s in sizes}
 
         def call(planes):
-            return run(planes, ls, bd, lam_dq, lv, lam)
+            return run(planes, ls, bd, lam_dq, lv, lam, mats)
 
         return call
 
@@ -822,7 +823,7 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
         consts[s] = (src, fill, pi, ni, keep)
 
     @jax.jit
-    def run(planes, ls, bd, lam_dq, lv, lam):
+    def run(planes, ls, bd, lam_dq, lv, lam, mats):
         flat = planes.reshape(F, H * W)
         out = {}
         for s in sizes:
@@ -835,7 +836,7 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
                            (u[:, jnp.asarray(pi)] + 2 * u
                             + u[:, jnp.asarray(ni)] + 2) >> 2)
             v = jnp.concatenate([u, uf], axis=1)
-            pred = intra_pred._predict_all_modes(v, s, 0)
+            pred = intra_pred.predict_all_modes_m(v, mats[s], s)
             blocks = planes.reshape(F, H // s, s, W // s, s) \
                 .transpose(0, 1, 3, 2, 4).reshape(-1, s * s)
             cands, cost = _stage_a_select(
@@ -891,7 +892,7 @@ def _fused_luma_sharded_builder(W, H, log2_ctu, sizes, F, K, mesh):
 
     F_loc = F // nf
 
-    def band_fn(planes, ls_a, bd_a, lam_dq, lv, lam):
+    def band_fn(planes, ls_a, bd_a, lam_dq, lv, lam, mats):
         # planes: (F_loc, band_h, W); halo row from the band above
         last = planes[:, -1, :]
         halo = jax.lax.ppermute(last, "row",
@@ -911,7 +912,7 @@ def _fused_luma_sharded_builder(W, H, log2_ctu, sizes, F, K, mesh):
                            (u[:, jnp.asarray(pi)] + 2 * u
                             + u[:, jnp.asarray(ni)] + 2) >> 2)
             v = jnp.concatenate([u, uf], axis=1)
-            pred = intra_pred._predict_all_modes(v, s, 0)
+            pred = intra_pred.predict_all_modes_m(v, mats[s], s)
             blocks = x[:, 1:, :].reshape(F_loc, band_h // s, s, W // s, s) \
                 .transpose(0, 1, 3, 2, 4).reshape(-1, s * s)
             cands, cost = _stage_a_select(
@@ -924,16 +925,16 @@ def _fused_luma_sharded_builder(W, H, log2_ctu, sizes, F, K, mesh):
 
     sm = shard_map(
         band_fn, mesh=mesh,
-        in_specs=(P("frame", "row", None), P(), P(), P(), P(), P()),
+        in_specs=(P("frame", "row", None), P(), P(), P(), P(), P(), P()),
         out_specs=tuple(P("frame", "row", None)
                         for _ in range(2 * len(sizes))),
         check_vma=False)
     sm_jit = jax.jit(sm)
 
-    def run(planes, ls, bd, lam_dq, lv, lam):
+    def run(planes, ls, bd, lam_dq, lv, lam, mats):
         ls_a = np.array([ls[s] for s in sizes], dtype=np.int32)
         bd_a = np.array([bd[s] for s in sizes], dtype=np.int32)
-        res = sm_jit(planes, ls_a, bd_a, lam_dq, lv, lam)
+        res = sm_jit(planes, ls_a, bd_a, lam_dq, lv, lam, mats)
         out = {}
         for si, s in enumerate(sizes):
             out[s] = (res[2 * si], res[2 * si + 1])
