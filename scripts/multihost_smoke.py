@@ -59,11 +59,14 @@ def worker(pid):
     lam = np.float32(2.0 ** (QP / rm.qp_div_dq_trellis)
                      * rm.lambda_mul_dq_trellis)
 
+    from wrenc_tpu.kernels import intra_pred
+    mats = {s: intra_pred.mats_device_f32(s, 0) for s in sizes}
     run = _fused_luma_sharded_builder(W, H, 5, sizes, F, 4, mesh)
     sharding = NamedSharding(mesh, P("frame", "row", None))
     garr = jax.make_array_from_callback(planes.shape, sharding,
                                         lambda idx: planes[idx])
-    res = run(garr, ls, bd, jax.device_put(lam_dq), jax.device_put(lv), lam)
+    res = run(garr, ls, bd, jax.device_put(lam_dq), jax.device_put(lv), lam,
+              mats)
 
     # gather and verify on every process (allgather is collective)
     ok = True
@@ -77,7 +80,7 @@ def worker(pid):
                 ref_run = _fused_luma_builder(W, H, 5, sizes, F, 4)
                 single = ref_run(jax.device_put(planes), ls, bd,
                                  jax.device_put(lam_dq),
-                                 jax.device_put(lv), lam)
+                                 jax.device_put(lv), lam, mats)
             rc = np.asarray(single[s][0])
             rb = np.asarray(single[s][1])
             if not (np.asarray(cands) == rc).all():

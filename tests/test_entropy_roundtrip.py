@@ -169,8 +169,8 @@ def test_mts_zero_out_suppresses_mts_idx():
 
 def test_cu_qp_delta_full_binarization():
     """cu_qp_delta_abs codes the complete TR(5)+EG0+sign binarization
-    (spec 9.3.3): a nonzero delta must parse to the right value (then be
-    rejected cleanly — fixed-QP reconstruction only), not desync."""
+    (spec 9.3.3): a nonzero delta must parse to the right value and
+    update the QG's QpY (spec 8.7.1), not desync."""
     import numpy as np
     from wrenc_tpu.bitstream.bitio import BitWriter, BitReader
     from wrenc_tpu.bitstream.headers import ParsedParams
@@ -203,11 +203,7 @@ def test_cu_qp_delta_full_binarization():
         syn2 = SliceSyntax(dec, pp, 'dec')
         dec.init_slice(cfg.qp)
         cu2 = CuDecision(0, 0, 5, 'S')
-        if delta == 0:
-            syn2.code_transform_unit(cu2)
-            assert cu2.qp_delta == 0
-        else:
-            import pytest
-            with pytest.raises(NotImplementedError):
-                syn2.code_transform_unit(cu2)
-            assert cu2.qp_delta == delta   # parsed correctly before reject
+        syn2.code_transform_unit(cu2)
+        assert cu2.qp_delta == delta
+        # the parsed delta updates the QG's QpY per spec 8.7.1
+        assert syn2.cur_qp_y == (cfg.qp + delta + 64) % 64

@@ -617,6 +617,16 @@ class SliceDecoder:
         self.avail = Availability(W, H, ps.log2_ctu_size)
         self.min_qt = max(ps.log2_min_cb,
                           ps.log2_min_cb + ps.log2_diff_min_qt_min_cb_intra)
+        # QG QP state (spec 8.7.1, QG == CTU since cu_qp_delta_subdiv=0):
+        # at CTU granularity the A/B neighbours are always outside the
+        # current CTB so the prediction is qP_Y_PREV, except at a CTB-row
+        # start where the above QG's QP applies (quantizer.rs:95-234)
+        self.qp_y_prev = ps.slice_qp
+        self.qg_pred_qp = ps.slice_qp
+        self.qg_delta = 0
+        self.cur_qp_y = ps.slice_qp
+        self.qg_qp_col0 = np.full(max(H // (1 << ps.log2_ctu_size), 1),
+                                  ps.slice_qp, dtype=np.int32)
 
     # ----------------------------------------------------------- neighbours
     def _decoded(self, x, y):
@@ -666,11 +676,25 @@ class SliceDecoder:
     # ------------------------------------------------------------------ CTU
     def ctu(self, x, y):
         self.qp_delta_pending = True
+        cs = 1 << self.ps.log2_ctu_size
+        cx, cy = x // cs, y // cs
+        if cx == 0 and cy > 0:
+            # first QG in a CTB row: predict from the above QG
+            self.qg_pred_qp = int(self.qg_qp_col0[cy - 1])
+        else:
+            self.qg_pred_qp = self.qp_y_prev
+        self.qg_delta = 0
+        self.cur_qp_y = self.qg_pred_qp
         if (getattr(self.ps, 'sao_luma_used', False)
                 or getattr(self.ps, 'sao_chroma_used', False)):
             self.parse_sao(x >> self.ps.log2_ctu_size,
                            y >> self.ps.log2_ctu_size)
         self.tree(x, y, self.ps.log2_ctu_size, tree='S')
+        # finalize the QG's QpY (CuQpDeltaVal = 0 when none was coded)
+        qpy = (self.qg_pred_qp + self.qg_delta + 64) % 64
+        self.qp_y_prev = qpy
+        if cx == 0:
+            self.qg_qp_col0[cy] = qpy
 
     def parse_sao(self, rx, ry):
         """SAO parameters (spec 7.3.11.3; ctu_encoder.rs:2611-2730). The
@@ -854,10 +878,9 @@ class SliceDecoder:
                 for _ in range(pre):
                     suf = (suf << 1) | a.bypass("cu_qp_delta_abs_eg")
                 v += (1 << pre) - 1 + suf
-            if v:
-                a.bypass("cu_qp_delta_sign")
-            _expect(v == 0, "nonzero cu_qp_delta: per-QG QP prediction "
-                            "reconstruction unsupported")
+            sign = a.bypass("cu_qp_delta_sign") if v else 0
+            self.qg_delta = -v if sign else v
+            self.cur_qp_y = (self.qg_pred_qp + self.qg_delta + 64) % 64
             self.qp_delta_pending = False
         qy = qcb = qcr = None
         ts = [0, 0, 0]
@@ -1271,8 +1294,8 @@ class SliceDecoder:
         if qlv is None:
             plane[cy:cy + s, cx:cx + s] = pred
             return
-        qp = ps.slice_qp if c == 0 else \
-            spec_quant.chroma_qp_from_luma(ps.slice_qp)
+        qp = self.cur_qp_y if c == 0 else \
+            spec_quant.chroma_qp_from_luma(self.cur_qp_y)
         qpar = spec_quant.derive_quant_params(
             qp, log2 - shift, log2 - shift, dep_quant=ps.dep_quant_used,
             transform_skip=bool(ts), bit_depth=ps.bit_depth)

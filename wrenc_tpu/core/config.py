@@ -145,6 +145,12 @@ class EncoderConfig:
     sign_data_hiding_enabled: bool = False
     entropy_coding_sync_enabled: bool = False  # WPP; wavefront mode sets True
     entry_point_offsets_present: bool = False
+    # per-QG (== CTU) QP-offset pattern, cycled over CTUs in raster
+    # order: exercises nonzero cu_qp_delta signalling + spec 8.7.1 QP
+    # prediction end-to-end (quantizer.rs:95-234). Empty = fixed QP.
+    # Routes commit to the NumPy path and entropy to the Python syntax
+    # layer (the batched native/device engines quantize at one QP).
+    qp_delta_pattern: tuple = ()
     rate_model: RateModelConfig = field(default_factory=RateModelConfig)
 
     # derived

@@ -63,6 +63,7 @@ class Decoder:
         self.avail = Availability(W, H, p.log2_ctu_size)
         cabac = CabacDecoder(r)
         syn = SliceSyntax(cabac, p, 'dec', on_cu=self._reconstruct_cu)
+        self.syn = syn          # _reconstruct_cu reads the live QG QpY
         cs = 1 << p.log2_ctu_size
         n_cols, n_rows = W // cs, H // cs
         n_ctus = n_cols * n_rows
@@ -128,7 +129,7 @@ class Decoder:
             if q is None or not (q != 0).any():
                 rec = pred
             else:
-                qp_y = p.slice_qp
+                qp_y = self.syn.cur_qp_y      # per-QG QpY (spec 8.7.1)
                 qp = qp_y if c == 0 else quant.chroma_qp_from_luma(qp_y)
                 is_ts = bool(cu.ts[min(c, 2)]) if cu.ts else False
                 qpar = quant.derive_quant_params(

@@ -64,7 +64,8 @@ class Encoder:
             # the native slice coder handles the production decision set;
             # transform-skip / SAO streams go through the Python syntax layer
             if (self.use_native and not cfg.transform_skip_search
-                    and not cfg.sao_enabled):
+                    and not cfg.sao_enabled
+                    and not getattr(cfg, 'qp_delta_pattern', ())):
                 from .entropy import native
                 return w.bytes() + native.encode_slice_native(cfg, trees,
                                                               cfg.qp)
@@ -93,7 +94,8 @@ class Encoder:
         """
         cfg = self.cfg
         if self.use_native and not cfg.transform_skip_search \
-                and not cfg.sao_enabled:
+                and not cfg.sao_enabled \
+                and not getattr(cfg, 'qp_delta_pattern', ()):
             from .entropy import native
             if native.wpp_supported():
                 lens, data = native.encode_slice_wpp_native(cfg, trees,

@@ -596,6 +596,19 @@ def decode_slice_native(p, payload, entry_lens=None):
                 transform_skip=False, bit_depth=p.bit_depth)
             ls_tab[c, log2 - 2] = qpar.ls
             bd_tab[c, log2 - 2] = qpar.bd_shift
+    # per-QP tables [64][2][4] for nonzero cu_qp_delta (spec 8.7.1);
+    # chroma rows at the mapped chroma QP of each luma QP
+    ls_qp = np.zeros((64, 2, 4), dtype=np.int32)
+    bd_qp = np.zeros((64, 2, 4), dtype=np.int32)
+    for qy in range(64):
+        for c in (0, 1):
+            qp = qy if c == 0 else quant.chroma_qp_from_luma(qy)
+            for log2 in (2, 3, 4, 5):
+                qpar = quant.derive_quant_params(
+                    qp, log2, log2, dep_quant=p.dep_quant_used,
+                    transform_skip=False, bit_depth=p.bit_depth)
+                ls_qp[qy, c, log2 - 2] = qpar.ls
+                bd_qp[qy, c, log2 - 2] = qpar.bd_shift
 
     def c32(a):
         return np.ascontiguousarray(a, dtype=np.int32)
@@ -628,6 +641,7 @@ def decode_slice_native(p, payload, entry_lens=None):
         _i32p(c32(tables.INTRA_ANGLE_TABLE)), _i32p(c32(tables.F_C)),
         _i32p(c32(tables.F_G)), _i32p(c32(tables.PDPC_WEIGHTS)),
         _i32p(c32(tables.CCLM_DIV_SIG_TABLE)),
+        _i32p(ls_qp), _i32p(bd_qp),
         _i32p(ry), _i32p(rcb), _i32p(rcr))
     if rc != 0:
         return None

@@ -2530,6 +2530,17 @@ struct SliceDecoder {
   bool mts_dc_only = true, mts_zero_out = true;
   const int32_t* ls_tab = nullptr;  // [2][4] (min(c,1), log2-2)
   const int32_t* bd_tab = nullptr;
+  // per-QP quant tables [64][2][4] (qp, min(c,1), log2-2); chroma rows
+  // are precomputed at the mapped chroma QP of each luma QP. Enables
+  // nonzero cu_qp_delta reconstruction (spec 8.7.1).
+  const int32_t* ls_qp_tab = nullptr;
+  const int32_t* bd_qp_tab = nullptr;
+  // QG (== CTU, cu_qp_delta_subdiv = 0) QP state, spec 8.7.1: at CTU
+  // granularity the A/B neighbours are outside the current CTB so the
+  // prediction reduces to qP_Y_PREV, except at a CTB-row start where
+  // the above QG's QP applies (quantizer.rs:95-234)
+  int qp_y_prev = 0, qg_pred_qp = 0, qg_delta = 0, cur_qp_y = 0;
+  std::vector<int32_t> qg_qp_col0;
   std::vector<int32_t> mode_map;
   std::vector<uint8_t> mode_set;
   std::vector<int16_t> cbw_map, cbh_map;
@@ -2873,8 +2884,14 @@ struct SliceDecoder {
       return;
     }
     int ci = c_comp == 0 ? 0 : 1;
-    int32_t ls = ls_tab[ci * 4 + (log2 - sh - 2)];
-    int32_t bd = bd_tab[ci * 4 + (log2 - sh - 2)];
+    int32_t ls, bd;
+    if (ls_qp_tab) {        // per-QG QpY (spec 8.7.1)
+      ls = ls_qp_tab[cur_qp_y * 8 + ci * 4 + (log2 - sh - 2)];
+      bd = bd_qp_tab[cur_qp_y * 8 + ci * 4 + (log2 - sh - 2)];
+    } else {
+      ls = ls_tab[ci * 4 + (log2 - sh - 2)];
+      bd = bd_tab[ci * 4 + (log2 - sh - 2)];
+    }
     int64_t bd_off = ((int64_t)1 << bd) >> 1;
     int16_t d[32 * 32];
     for (int i = 0; i < s * s; ++i) {
@@ -2925,7 +2942,22 @@ struct SliceDecoder {
     if (luma_active) y_coded = c.bin(SE_TuYCodedFlag, 0);
     if ((y_coded || cb_coded || cr_coded) && tree != 2
         && !cu_qp_delta_coded) {
-      if (c.bin(SE_CuQpDeltaAbs, 0) != 0) { error = true; ecode = -3; return; }
+      // full binarization: TR(5) prefix (bin0 ctx 0, rest ctx 1) + EG0
+      // bypass suffix + bypass sign (spec 9.3.3)
+      int v = 0;
+      while (v < 5 && c.bin(SE_CuQpDeltaAbs, v == 0 ? 0 : 1)) ++v;
+      if (v == 5) {
+        int pre = 0;
+        while (c.bypass()) ++pre;
+        int suf = 0;
+        for (int i = 0; i < pre; ++i) suf = (suf << 1) | c.bypass();
+        v += (1 << pre) - 1 + suf;
+      }
+      int sign = v ? c.bypass() : 0;
+      int delta = sign ? -v : v;
+      if (delta != 0 && !ls_qp_tab) { error = true; ecode = -3; return; }
+      qg_delta = delta;
+      cur_qp_y = (qg_pred_qp + delta + 64) % 64;
       cu_qp_delta_coded = true;
     }
     int16_t qbuf[32 * 32];
@@ -3021,6 +3053,7 @@ extern "C" int wrenc_decode_slice(
     const int32_t* dct4, const int32_t* dct8, const int32_t* dct16,
     const int32_t* dct32, const int32_t* angle_tab, const int32_t* fc_tab,
     const int32_t* fg_tab, const int32_t* pdpc_w, const int32_t* cclm_div,
+    const int32_t* ls_qp_tab, const int32_t* bd_qp_tab,
     int32_t* rec_y, int32_t* rec_cb, int32_t* rec_cr) {
   CommitTabs tabs;
   tabs.dct[0] = dct4; tabs.dct[1] = dct8; tabs.dct[2] = dct16;
@@ -3036,6 +3069,9 @@ extern "C" int wrenc_decode_slice(
   sd.cclm_enabled = cclm_enabled;
   sd.explicit_mts_intra = explicit_mts_intra;
   sd.ls_tab = ls_tab; sd.bd_tab = bd_tab;
+  sd.ls_qp_tab = ls_qp_tab; sd.bd_qp_tab = bd_qp_tab;
+  sd.qp_y_prev = qp; sd.qg_pred_qp = qp; sd.cur_qp_y = qp;
+  sd.qg_qp_col0.assign(H >> log2_ctu ? H >> log2_ctu : 1, qp);
   sd.mode_map.assign((W >> 2) * (H >> 2), 0);
   sd.mode_set.assign((W >> 2) * (H >> 2), 0);
   sd.cbw_map.assign((W >> 2) * (H >> 2), 0);
@@ -3086,8 +3122,16 @@ extern "C" int wrenc_decode_slice(
     }
     for (int col = 0; col < n_cols; ++col) {
       sd.cu_qp_delta_coded = false;
+      // QG begin (spec 8.7.1): row starts predict from the above QG
+      sd.qg_pred_qp = (col == 0 && r > 0) ? sd.qg_qp_col0[r - 1]
+                                          : sd.qp_y_prev;
+      sd.qg_delta = 0;
+      sd.cur_qp_y = sd.qg_pred_qp;
       sd.decode_tree(col * cs, r * cs, log2_ctu, 0);
       if (sd.error) return sd.ecode * 1000 - idx;
+      // QG end: finalize QpY (delta 0 when none was coded)
+      sd.qp_y_prev = (sd.qg_pred_qp + sd.qg_delta + 64) % 64;
+      if (col == 0) sd.qg_qp_col0[r] = sd.qp_y_prev;
       if (use_wpp && col == 0) { snap0 = sd.c.s0; snap1 = sd.c.s1; }
       int end = sd.c.terminate();
       bool last = idx == n_ctu - 1;

@@ -27,6 +27,9 @@ class CuDecision:
     ts: list = field(default_factory=lambda: [0, 0, 0])
     # QP-group delta (always 0 from this fixed-QP encoder)
     qp_delta: int = 0
+    # target QpY for the CU's QG (qp_delta_pattern mode); None = slice QP.
+    # The syntax encoder signals delta = qp_y - predicted QP (spec 8.7.1)
+    qp_y: int = None
 
 
 @dataclass

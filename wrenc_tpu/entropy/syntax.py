@@ -102,6 +102,43 @@ class SliceSyntax:
         self.q_state = 0
         self.is_cu_qp_delta_coded = False
         self._sao_map = {}
+        # --- QG (quantization group) QP bookkeeping, spec 8.7.1. The
+        # operating point has cu_qp_delta_subdiv=0, so QG == CTU, and one
+        # tile/slice per picture: at CTU granularity the A/B neighbours
+        # of 8.7.1 always fall outside the current CTB, so
+        # qP_Y_A == qP_Y_B == qP_Y_PREV and the prediction reduces to
+        # qP_Y_PREV — except at a CTB-row start, where the above QG's QP
+        # is used when available (quantizer.rs:95-234 derive_qp).
+        cs = 1 << params.log2_ctu_size
+        self.qg_qp_map = np.full((max(H // cs, 1), max(W // cs, 1)),
+                                 self.qp, dtype=np.int32)
+        self.qp_y_prev = self.qp       # last QG's final QpY
+        self.qg_pred_qp = self.qp      # predicted QP of the current QG
+        self.qg_delta = 0              # CuQpDeltaVal of the current QG
+        self.cur_qp_y = self.qp        # QpY in effect (dequantization)
+        self._qg_pos = None
+
+    # ------------------------------------------------------------- QG / QP
+    def _qg_begin(self, x, y):
+        """Start a new quantization group (== CTU): finalize the previous
+        QG's QpY (delta 0 if none was coded) and derive this QG's
+        predicted QP per spec 8.7.1."""
+        if self._qg_pos is not None:
+            qpy = (self.qg_pred_qp + self.qg_delta + 64) % 64
+            self.qp_y_prev = qpy
+            px, py = self._qg_pos
+            self.qg_qp_map[py, px] = qpy
+        cs = 1 << self.p.log2_ctu_size
+        cx, cy = x // cs, y // cs
+        self._qg_pos = (cx, cy)
+        self.qg_delta = 0
+        if cx == 0 and cy > 0:
+            # first QG in a CTB row: predict from the above QG
+            pred = int(self.qg_qp_map[cy - 1, 0])
+        else:
+            pred = self.qp_y_prev
+        self.qg_pred_qp = pred
+        self.cur_qp_y = pred
 
     # ------------------------------------------------------------------ io
     def _bin(self, se, inc, v=None):
@@ -250,6 +287,7 @@ class SliceSyntax:
         # QP-group bookkeeping: QG == CTU (cu_qp_delta_subdiv = 0)
         if node.log2 == self.p.log2_ctu_size:
             self.is_cu_qp_delta_coded = False
+            self._qg_begin(node.x, node.y)
 
         split = 0
         if allow_qt and node.y + size <= self.p.height:
@@ -483,16 +521,20 @@ class SliceSyntax:
         else:
             y_coded = 0
 
-        # cu_qp_delta (QG = CTU); this encoder runs fixed-QP so the value
-        # is always 0, but the full binarization is coded/parsed: TR(5)
-        # prefix (bin0 ctx 0, bins 1..4 ctx 1), EG0 bypass suffix when the
-        # prefix saturates, bypass sign when abs > 0 (spec 9.3.3;
-        # ctu_encoder.rs:1604-1650)
+        # cu_qp_delta (QG = CTU): full binarization — TR(5) prefix (bin0
+        # ctx 0, bins 1..4 ctx 1), EG0 bypass suffix when the prefix
+        # saturates, bypass sign when abs > 0 (spec 9.3.3;
+        # ctu_encoder.rs:1604-1650). Nonzero deltas update the QG's QpY
+        # per spec 8.7.1 (_qg_begin / cur_qp_y); the encoder signals a
+        # per-QG target via cu.qp_y (fixed-QP streams leave it unset, so
+        # the delta is 0: target == predicted)
         if ((y_coded or cb_coded or cr_coded) and cu.tree != 'C'
                 and getattr(self.p, 'cu_qp_delta_enabled', True)
                 and not self.is_cu_qp_delta_coded):
-            delta = getattr(cu, 'qp_delta', 0) if self.enc else None
             if self.enc:
+                target = getattr(cu, 'qp_y', None)
+                delta = (target - self.qg_pred_qp if target is not None
+                         else getattr(cu, 'qp_delta', 0))
                 v = abs(delta)
                 for b_idx, b in enumerate(binarize.tr_bins(min(v, 5), 5, 0)):
                     self._bin(SE.CuQpDeltaAbs, 0 if b_idx == 0 else 1, b)
@@ -509,12 +551,10 @@ class SliceSyntax:
                 if v == 5:
                     v += binarize.read_egk(self._bypass_read, 0)
                 sign = self._bypass() if v else 0
-                cu.qp_delta = -v if sign else v
-                if v:
-                    raise NotImplementedError(
-                        "non-zero cu_qp_delta parsed; per-QG QP prediction "
-                        "(spec 8.7.1) reconstruction is not implemented — "
-                        "this encoder only emits fixed-QP streams")
+                delta = -v if sign else v
+                cu.qp_delta = delta
+            self.qg_delta = int(delta)
+            self.cur_qp_y = (self.qg_pred_qp + int(delta) + 64) % 64
             self.is_cu_qp_delta_coded = True
 
         max_ts = 1 << self.p.log2_transform_skip_max_size

@@ -240,6 +240,23 @@ class WavefrontSearch:
         Uses the native C++ commit engine (coding-order walk, threaded
         across frames) when available, else the NumPy rank-wavefront path.
         """
+        cfg = self.cfg
+        pat = tuple(getattr(cfg, 'qp_delta_pattern', ()) or ())
+        if pat:
+            # per-QG QP mode: tag every CU with its CTU's target QpY and
+            # commit on the NumPy path (per-CU qpar sub-batching)
+            n_cols = cfg.width >> cfg.log2_ctu_size
+            for trees in all_trees:
+                for cu in self._collect_cus(trees):
+                    ci = ((cu.y >> cfg.log2_ctu_size) * n_cols
+                          + (cu.x >> cfg.log2_ctu_size))
+                    cu.qp_y = int(np.clip(cfg.qp + pat[ci % len(pat)],
+                                          0, 63))
+            recons = []
+            for fi, trees in enumerate(all_trees):
+                self.orig = self.batch[fi]
+                recons.append(self._commit(trees))
+            return recons
         if self._device_commit:
             from .device_commit import commit_frames_device_rd
             return commit_frames_device_rd(self.cfg, self.batch, all_trees)
@@ -753,24 +770,51 @@ class WavefrontSearch:
                         for x, y in zip(xs, ys)])
         res = org - pred
         t = np_ops.forward_dct2_np(res)
-        qpar = self.qpar[(min(c_idx, 1), log2)]
         lam_dq = np.asarray(self.lam_dq_trellis if self.trellis_commit
                             else self.lam_dq_greedy)
-        if cfg.dep_quant_enabled:
-            from ..entropy import native
-            if native.available():
-                fn = (native.trellis_quant_native if self.trellis_commit
-                      else native.greedy_quant_native)
-                q = fn(t, qpar.ls, qpar.bd_shift, lam_dq, log2)
-            elif self.trellis_commit:
-                q = np_ops.trellis_depquant_np(t, qpar.ls, qpar.bd_shift,
-                                               lam_dq, log2)
-            else:
-                q = np_ops.greedy_depquant_np(t, qpar.ls, qpar.bd_shift,
-                                              lam_dq, log2)
+        # per-CU quant params: fixed-QP uses the precomputed pair; the
+        # qp_delta_pattern toy mode sub-batches by each CU's target QpY
+        # (lam_dq stays at the base QP — level choice is an RD matter,
+        # conformance only needs quantize/dequantize at the signalled QP)
+        qp_cu = np.array([getattr(cu, 'qp_y', -1) if
+                          getattr(cu, 'qp_y', None) is not None else -1
+                          for cu in batch])
+        if (qp_cu >= 0).any():
+            qpars = {}
+            for uq in np.unique(qp_cu):
+                qq = cfg.qp if uq < 0 else int(uq)
+                if c_idx != 0:
+                    qq = quant.chroma_qp_from_luma(qq)
+                qpars[uq] = quant.derive_quant_params(
+                    qq, log2, log2, dep_quant=cfg.dep_quant_enabled,
+                    transform_skip=False)
         else:
-            q = np.stack([quant.quantize_rdoq_off(tt, qpar) for tt in t])
-        d = np_ops.dequantize_np(q, qpar.ls, qpar.bd_shift)
+            qpars = {-1: self.qpar[(min(c_idx, 1), log2)]}
+            qp_cu = np.full(len(batch), -1)
+        q = np.zeros_like(t)
+        d = np.zeros_like(t)
+        from ..entropy import native
+        for uq, qpar in qpars.items():
+            sel = np.where(qp_cu == uq)[0]
+            ts = t[sel]
+            if cfg.dep_quant_enabled:
+                if native.available():
+                    fn = (native.trellis_quant_native if self.trellis_commit
+                          else native.greedy_quant_native)
+                    qs = fn(ts, qpar.ls, qpar.bd_shift, lam_dq, log2)
+                elif self.trellis_commit:
+                    qs = np_ops.trellis_depquant_np(ts, qpar.ls,
+                                                    qpar.bd_shift,
+                                                    lam_dq, log2)
+                else:
+                    qs = np_ops.greedy_depquant_np(ts, qpar.ls,
+                                                   qpar.bd_shift,
+                                                   lam_dq, log2)
+            else:
+                qs = np.stack([quant.quantize_rdoq_off(tt, qpar)
+                               for tt in ts])
+            q[sel] = qs
+            d[sel] = np_ops.dequantize_np(qs, qpar.ls, qpar.bd_shift)
         r = np_ops.inverse_dct2_np(d)
         rec = np.clip(pred + r, 0, 255)
         for i, cu in enumerate(batch):
