@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import intra_mats
+from .transforms import EXACT
 from ..core import tables
 
 
@@ -50,11 +51,13 @@ def predict_all_modes_m(v, m, size):
     v: (N, 2L) int32, m: dict from mats_host_f32 -> (N, 67, WH) int32."""
     vf = v.astype(jnp.float32)
     x1 = jnp.einsum('nl,mlp->nmp', vf, m["W1"],
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                    preferred_element_type=jnp.float32,
+                    precision=EXACT).astype(jnp.int32)
     p1 = (x1 + m["c1"][None, :, None]) >> m["s1"][None, :, None]
     p1 = jnp.where(m["clamp1"][None, :, None], jnp.clip(p1, 0, 255), p1)
     x2 = jnp.einsum('nl,mlp->nmp', vf, m["W2"],
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                    preferred_element_type=jnp.float32,
+                    precision=EXACT).astype(jnp.int32)
     p2 = (x2 + m["B2"][None, :, :] * p1 + 32) >> 6
     return jnp.clip(p2, 0, 255)
 
@@ -66,11 +69,13 @@ def predict_modes_m(v, mode_ids, m):
     W2 = m["W2"][mode_ids]
     vf = v.astype(jnp.float32)
     x1 = jnp.einsum('nl,nlp->np', vf, W1,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                    preferred_element_type=jnp.float32,
+                    precision=EXACT).astype(jnp.int32)
     p1 = (x1 + m["c1"][mode_ids][:, None]) >> m["s1"][mode_ids][:, None]
     p1 = jnp.where(m["clamp1"][mode_ids][:, None], jnp.clip(p1, 0, 255), p1)
     x2 = jnp.einsum('nl,nlp->np', vf, W2,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                    preferred_element_type=jnp.float32,
+                    precision=EXACT).astype(jnp.int32)
     p2 = (x2 + m["B2"][mode_ids] * p1 + 32) >> 6
     return jnp.clip(p2, 0, 255)
 
@@ -94,11 +99,13 @@ def _predict_all_modes(v, size, c_idx):
          for k, a in _mats_device(size, c_idx).items()}
     vf = v.astype(jnp.float32)
     x1 = jnp.einsum('nl,mlp->nmp', vf, m["W1"].astype(jnp.float32),
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                    preferred_element_type=jnp.float32,
+                    precision=EXACT).astype(jnp.int32)
     p1 = (x1 + m["c1"][None, :, None]) >> m["s1"][None, :, None]
     p1 = jnp.where(m["clamp1"][None, :, None], jnp.clip(p1, 0, 255), p1)
     x2 = jnp.einsum('nl,mlp->nmp', vf, m["W2"].astype(jnp.float32),
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                    preferred_element_type=jnp.float32,
+                    precision=EXACT).astype(jnp.int32)
     p2 = (x2 + m["B2"][None, :, :] * p1 + 32) >> 6
     return jnp.clip(p2, 0, 255)
 
@@ -117,13 +124,15 @@ def _predict_modes(v, mode_ids, size, c_idx):
     W2 = m["W2"][mode_ids].astype(jnp.float32)
     vf = v.astype(jnp.float32)
     x1 = jnp.einsum('nl,nlp->np', vf, W1,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                    preferred_element_type=jnp.float32,
+                    precision=EXACT).astype(jnp.int32)
     c1 = m["c1"][mode_ids][:, None]
     s1 = m["s1"][mode_ids][:, None]
     p1 = (x1 + c1) >> s1
     p1 = jnp.where(m["clamp1"][mode_ids][:, None], jnp.clip(p1, 0, 255), p1)
     x2 = jnp.einsum('nl,nlp->np', vf, W2,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                    preferred_element_type=jnp.float32,
+                    precision=EXACT).astype(jnp.int32)
     p2 = (x2 + m["B2"][mode_ids] * p1 + 32) >> 6
     return jnp.clip(p2, 0, 255)
 

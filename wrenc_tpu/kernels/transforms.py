@@ -25,10 +25,17 @@ def forward_dct2(res):
     return _forward(res)
 
 
+# TPU matmuls default to single-pass bf16 (inexact for our integers);
+# HIGHEST selects the 6-pass scheme, exact for integer operands < 2^16
+# (every operand here is), and is plain f32 on CPU.
+EXACT = jax.lax.Precision.HIGHEST
+
+
 def _f32mm(a, spec, t):
     """Exact int matmul on the MXU: operands small enough for f32."""
     return jnp.einsum(spec, a.astype(jnp.float32), t.astype(jnp.float32),
-                      preferred_element_type=jnp.float32).astype(jnp.int32)
+                      preferred_element_type=jnp.float32,
+                      precision=EXACT).astype(jnp.int32)
 
 
 def _f32mm_split(a, spec, t, bits=9):

@@ -830,6 +830,11 @@ def _run_pass(cfg, origs, xs, entries, R, caps, n_cand):
             cs = (1 << log2) >> 1 if tree == 'S' else 4
             mats[('c', cs)] = intra_pred.mats_device_f32(cs, 1)
 
+    import os as _os
+    if _os.environ.get('WRENC_COMMIT_PROF'):
+        import sys as _sys
+        print(f"device-commit geometry: F={Fp} R={R} caps={caps} "
+              f"K={n_cand}", file=_sys.stderr, flush=True)
     run = _rd_commit_builder(W, H, cfg.log2_ctu_size, Fp, R, caps, n_cand,
                              bool(cfg.cclm_enabled))
     (ry, rcb, rcr), ys = run(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv,
