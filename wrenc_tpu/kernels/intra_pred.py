@@ -147,6 +147,12 @@ def _ilog2_u8(v):
 @functools.partial(jax.jit, static_argnums=(0, 5, 7))
 def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
                  bf=None):
+    return predict_cclm_impl(mode, luma, chroma, xs, ys, cs, masks,
+                             ctu_size, bf)
+
+
+def predict_cclm_impl(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
+                      bf=None, bf_luma=None):
     """Batched bit-exact CCLM prediction on device — the jnp twin of
     np_ops.predict_cclm_np (spec/intra.py predict_cclm;
     intra_predictor.rs:1604-2056), golden-tested against it. One mode
@@ -172,9 +178,12 @@ def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
     masks = jnp.asarray(masks)
     B = xs.shape[0]
     bf = jnp.zeros(B, jnp.int32) if bf is None else jnp.asarray(bf, jnp.int32)
+    # chroma may be stacked (2F, h, w) with bf = 2*frame + component while
+    # luma stays (F, H, W) — bf_luma then carries the luma frame index
+    bfl = bf if bf_luma is None else jnp.asarray(bf_luma, jnp.int32)
 
     def _bx(yy):
-        return jnp.broadcast_to(bf.reshape((B,) + (1,) * (yy.ndim - 1)),
+        return jnp.broadcast_to(bfl.reshape((B,) + (1,) * (yy.ndim - 1)),
                                 yy.shape)
     lx, ly = 2 * xs, 2 * ys
     tw = th = cs
@@ -184,17 +193,16 @@ def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
     nbl = jnp.cumprod(masks[:, 1 + cs:1 + 2 * cs], axis=1).sum(1)
     ntr = jnp.cumprod(masks[:, 1 + 3 * cs:1 + 4 * cs], axis=1).sum(1)
 
-    if mode == 81:
-        num_t = jnp.where(avail_t, tw, 0)
-        num_l = jnp.where(avail_l, th, 0)
-    elif mode == 83:
-        num_t = jnp.where(avail_t, tw + jnp.minimum(ntr, th), 0)
-        num_l = jnp.zeros(B, jnp.int32)
-    else:  # 82
-        num_t = jnp.zeros(B, jnp.int32)
-        num_l = jnp.where(avail_l, th + jnp.minimum(nbl, tw), 0)
+    # mode may be a static int or a per-block (B,) array (the commit scan
+    # evaluates all three CCLM modes in ONE call)
+    m = jnp.broadcast_to(jnp.asarray(mode, jnp.int32), (B,))
+    is81, is82, is83 = m == 81, m == 82, m == 83
+    num_t = jnp.where(is82, 0, jnp.where(
+        avail_t, tw + jnp.where(is83, jnp.minimum(ntr, th), 0), 0))
+    num_l = jnp.where(is83, 0, jnp.where(
+        avail_l, th + jnp.where(is82, jnp.minimum(nbl, tw), 0), 0))
     empty = (num_t == 0) & (num_l == 0)
-    num4 = (~(avail_t & avail_l & (mode == 81))).astype(jnp.int32)
+    num4 = (~(avail_t & avail_l & is81)).astype(jnp.int32)
 
     def picks(num):
         start = num >> (2 + num4)

@@ -16,12 +16,66 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import tables
+from .transforms import EXACT
 from ..spec import quant as squant
 
 def _q_trans():
     # plain numpy: embedded as a compile-time constant inside jit traces
     # (device_put inside a trace can deadlock the transfer thread)
     return tables.Q_STATE_TRANS.astype(np.int32)
+
+
+# ------------------------------------------------------------ fast lookups
+# TPU lowers per-element gathers over minor axes to ~2 GB/s scalar loops
+# (profiled at 3-6 ms per 0.5M-element lookup inside the commit scan).
+# Everything below replaces them with vectorized equivalents that are
+# bit-identical: the 4x2 dep-quant state table has a closed form, small
+# trailing-axis take_along_axis becomes a one-hot multiply-sum on the VPU,
+# and 1024-entry rate-table lookups become 32x32 double-one-hot MXU
+# contractions on 12-bit integer pieces (each piece < 2^12 splits exactly
+# into two bf16 factors, so Precision.HIGHEST keeps them exact).
+
+def _trans_next(q_state, parity):
+    """Q_STATE_TRANS[q, p] == ((q ^ p) & 1) * 2 + (q >> 1), elementwise."""
+    return ((q_state ^ parity) & 1) * 2 + (q_state >> 1)
+
+
+def _sel_last(vals, idx):
+    """take_along_axis over a small trailing axis, one-hot multiply-sum.
+    vals (..., S), idx (...,) int -> (...,) of vals' dtype."""
+    S = vals.shape[-1]
+    hot = jnp.arange(S, dtype=jnp.int32) == idx[..., None]
+    return jnp.sum(jnp.where(hot, vals, 0), axis=-1)
+
+
+def _sel_map(h, g):
+    """Composition select: out[..., x] = h[..., g[..., x]] for (..., S)
+    state maps (S small). One-hot multiply-sum; bit-exact."""
+    S = h.shape[-1]
+    hot = jnp.arange(S, dtype=jnp.int32) == g[..., :, None]   # (..., S, S)
+    return jnp.sum(jnp.where(hot, h[..., None, :], 0), axis=-1)
+
+
+def _lut1024_i32(table, idx):
+    """Exact lookup from a (1024,) nonnegative int32 table (may be a
+    traced argument — QP tables stay runtime values) via 32x32 one-hot
+    MXU contractions over 12-bit pieces. idx int32 in [0, 1023] (caller
+    clips). Returns idx.shape int32."""
+    t = jnp.asarray(table, jnp.int32)
+    sh = idx.shape
+    i = idx.reshape(-1)
+    oh_hi = (jnp.arange(32, dtype=jnp.int32)
+             == (i[:, None] >> 5)).astype(jnp.float32)         # (N, 32)
+    oh_lo = jnp.arange(32, dtype=jnp.int32) == (i[:, None] & 31)
+    out = jnp.zeros(i.shape, jnp.int32)
+    for s in (0, 12, 24):
+        p = ((t >> s) & 0xFFF).astype(jnp.float32).reshape(32, 32)
+        rows = jnp.einsum('nh,hl->nl', oh_hi, p,
+                          preferred_element_type=jnp.float32,
+                          precision=EXACT)                     # (N, 32)
+        v = jnp.sum(jnp.where(oh_lo, rows, 0), axis=-1).astype(jnp.int32)
+        out = out + (v << s)
+    return out.reshape(sh)
 
 
 @functools.lru_cache(maxsize=None)
@@ -71,7 +125,6 @@ def greedy_depquant(t, ls, bd_shift, lam_dq, log2_n, lv_table):
     order = coding_order(log2_n)
     tf = t.reshape(B, -1)[:, order]          # (B, P) coding order
     bd_offset = (1 << bd_shift) >> 1
-    trans = jnp.asarray(_q_trans())
 
     def body(carry, tc):
         q_state, trailing, rate = carry
@@ -85,7 +138,8 @@ def greedy_depquant(t, ls, bd_shift, lam_dq, log2_n, lv_table):
             dq = (mag * ls + bd_offset) >> bd_shift
             dist = jnp.abs(jnp.abs(tc) - dq)
             bits = jnp.where((a == 0) & trailing, 0, a + 1)
-            return 128 * dist + lam_dq[jnp.clip(bits, 0, 1023)], mag
+            return (128 * dist
+                    + _lut1024_i32(lam_dq, jnp.clip(bits, 0, 1023)), mag)
         c0, m0 = cost_of(a0)
         c1, m1 = cost_of(a0 + 1)
         pick1 = c1 < c0
@@ -95,10 +149,12 @@ def greedy_depquant(t, ls, bd_shift, lam_dq, log2_n, lv_table):
         # RD rate accumulation (block_splitter lv tables)
         r = jnp.where(a == 0,
                       jnp.where(trailing, 0.0, lv_table[0]),
-                      lv_table[jnp.clip(a, 0, 1023)])
+                      _lut1024_i32(lv_table.astype(jnp.int32),
+                                   jnp.clip(a, 0, 1023)
+                                   ).astype(jnp.float32))
         rate = rate + r
         trailing = trailing & (a == 0)
-        q_state = trans[q_state, a & 1]
+        q_state = _trans_next(q_state, a & 1)
         return (q_state, trailing, rate), qv
 
     init = (jnp.zeros(B, jnp.int32), jnp.ones(B, bool),
@@ -207,11 +263,29 @@ def trellis_depquant(t, ls, bd_shift, lam_dq, log2_n):
     return q.reshape(t.shape).astype(jnp.int16)
 
 
+def dequantize_impl(q, ls, bd_shift):
+    """ls/bd_shift: scalars or (B,)-per-row arrays (broadcast over the
+    trailing block dims). Non-jitted so callers inside a jitted scan body
+    fuse across the call boundary."""
+    q = q.astype(jnp.int32)
+    ls = _brow(ls, q.ndim)
+    bd_shift = _brow(bd_shift, q.ndim)
+    bd_offset = (1 << bd_shift) >> 1
+    d = (q * ls + bd_offset) >> bd_shift
+    return jnp.clip(d, -(1 << 15), (1 << 15) - 1)
+
+
+def _brow(v, nd):
+    """Broadcast a scalar or (B,) per-row parameter against nd-dim data."""
+    v = jnp.asarray(v)
+    if v.ndim == 0:
+        return v
+    return v.reshape(v.shape + (1,) * (nd - 1))
+
+
 @jax.jit
 def dequantize(q, ls, bd_shift):
-    bd_offset = (1 << bd_shift) >> 1
-    d = (q.astype(jnp.int32) * ls + bd_offset) >> bd_shift
-    return jnp.clip(d, -(1 << 15), (1 << 15) - 1)
+    return dequantize_impl(q, ls, bd_shift)
 
 
 def dq_rate_scan(q, log2_n, lv_table):
@@ -224,7 +298,6 @@ def _dq_rate_scan(q, log2_n, lv_table):
     B = q.shape[0]
     order = coding_order(log2_n)
     qf = jnp.abs(q.reshape(B, -1)[:, order].astype(jnp.int32))
-    trans = jnp.asarray(_q_trans())
 
     def body(carry, qv):
         q_state, trailing, rate = carry
@@ -232,8 +305,11 @@ def _dq_rate_scan(q, log2_n, lv_table):
                       (qv + (q_state > 1).astype(jnp.int32)) // 2)
         r = jnp.where(a == 0,
                       jnp.where(trailing, 0.0, lv_table[0]),
-                      lv_table[jnp.clip(a, 0, 1023)])
-        return (trans[q_state, a & 1], trailing & (a == 0), rate + r), None
+                      _lut1024_i32(lv_table.astype(jnp.int32),
+                                   jnp.clip(a, 0, 1023)
+                                   ).astype(jnp.float32))
+        return (_trans_next(q_state, a & 1), trailing & (a == 0),
+                rate + r), None
 
     init = (jnp.zeros(B, jnp.int32), jnp.ones(B, bool),
             jnp.zeros(B, jnp.float32))
@@ -253,30 +329,44 @@ def dq_rate_device(q, log2_n, lv_table):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _dq_rate_device(q, log2_n, lv_table):
+    return dq_rate_impl(q, log2_n, lv_table)
+
+
+def dq_rate_impl(q, log2_n, lv_table):
     B = q.shape[0]
     order = coding_order(log2_n)
     P = order.shape[0]
     v = jnp.abs(q.reshape(B, -1)[:, order].astype(jnp.int32))    # (B, P)
-    trans = jnp.asarray(_q_trans())
-    qs = jnp.arange(8, dtype=jnp.int32) >> 1                     # (8,)
-    tr = (jnp.arange(8) & 1).astype(bool)
-    a = (v[:, :, None] + (qs > 1).astype(jnp.int32)[None, None, :]) // 2
+    qs = np.arange(8, dtype=np.int32) >> 1                       # static
+    tr = (np.arange(8) & 1).astype(bool)
+    delta_s = (qs > 1).astype(np.int32)
+    # a only depends on delta: lookups on the compact (B, P, 2) grid (the
+    # lv values are exact small integers, so the int LUT is exact), then
+    # constant-index expansion to the 8 states; closed-form transition
+    a2 = (v[:, :, None] + jnp.arange(2, dtype=jnp.int32)) // 2   # (B,P,2)
+    r2f = _lut1024_i32(lv_table.astype(jnp.int32),
+                       jnp.clip(a2, 0, 1023)).astype(jnp.float32)
+    a = a2[:, :, delta_s]                                        # (B, P, 8)
     r = jnp.where(a == 0,
                   jnp.where(tr[None, None, :], 0.0, lv_table[0]),
-                  lv_table[jnp.clip(a, 0, 1023)])                # (B, P, 8)
-    n = trans[qs[None, None, :], a & 1] * 2 + \
+                  r2f[:, :, delta_s])                            # (B, P, 8)
+    n = _trans_next(jnp.asarray(qs)[None, None, :], a & 1) * 2 + \
         (tr[None, None, :] & (a == 0)).astype(jnp.int32)         # (B, P, 8)
     while P > 1:   # compose adjacent position pairs (earlier, later)
         n1, n2 = n[:, 0::2], n[:, 1::2]
         r1, r2 = r[:, 0::2], r[:, 1::2]
-        r = r1 + jnp.take_along_axis(r2, n1, axis=-1)
-        n = jnp.take_along_axis(n2, n1, axis=-1)
+        r = r1 + _sel_map(r2, n1)
+        n = _sel_map(n2, n1)
         P //= 2
     return r[:, 0, 1]    # start state: q_state 0, trailing true
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def trellis_depquant_pscan(t, ls, bd_shift, lam_dq, log2_n):
+    return trellis_pscan_impl(t, ls, bd_shift, lam_dq, log2_n)
+
+
+def trellis_pscan_impl(t, ls, bd_shift, lam_dq, log2_n):
     """Parallel-scan (log-depth) exact 8-state dependent-quantization
     Viterbi — the TPU-native reformulation of spec.quant's trellis.
 
@@ -295,54 +385,57 @@ def trellis_depquant_pscan(t, ls, bd_shift, lam_dq, log2_n):
     order = coding_order(log2_n)
     P = order.shape[0]
     tf = t.reshape(B, -1)[:, order]                     # (B, P) coding order
+    ls = _brow(ls, 4)                                    # scalar or (B,1,1,1)
+    bd_shift = _brow(bd_shift, 4)
     bd_offset = (1 << bd_shift) >> 1
-    trans = jnp.asarray(_q_trans())
     BIG = jnp.int32(1 << 29)
 
-    q_states = jnp.arange(8, dtype=jnp.int32) >> 1       # (8,)
-    trailing_s = (jnp.arange(8, dtype=jnp.int32) & 1).astype(bool)
+    q_states = np.arange(8, dtype=np.int32) >> 1         # (8,) static
+    trailing_s = (np.arange(8, dtype=np.int32) & 1).astype(bool)
+    delta_s = (q_states > 1).astype(np.int32)            # (8,) 0/1
     is_dc = jnp.zeros(P, bool).at[P - 1].set(True)       # (P,)
 
-    # ---- per-position edge costs/magnitudes for all 8 source states x 2
-    # candidates, fully vectorized over (B, P)
-    tc = tf[:, :, None]                                  # (B, P, 1)
-    delta = (q_states > 1).astype(jnp.int32)[None, None, :]
-    s_ = (jnp.abs(tc) << bd_shift) + jnp.where(tc < 0, bd_offset,
-                                               -bd_offset)
-    a0 = (s_ // ls + delta) // 2                         # (B, P, 8)
+    # ---- per-position edge costs on the COMPACT (B, P, delta 2, k 2)
+    # grid (states only differ through delta/trailing, both static maps) —
+    # then mapped to the 8 states by constant indexing. Rate lookups run
+    # through the one-hot MXU LUT; the state transition is closed-form.
+    tc = tf[:, :, None, None]                            # (B, P, 1, 1)
+    atc = jnp.abs(tc)
+    s_ = (atc << bd_shift) + jnp.where(tc < 0, bd_offset, -bd_offset)
+    base = s_ // ls                                      # (B, P, 1, 1)
     zero = tc == 0
+    dlt = jnp.arange(2, dtype=jnp.int32)[None, None, :, None]
+    kk = jnp.arange(2, dtype=jnp.int32)[None, None, None, :]
+    a4 = jnp.where(zero, 0, (base + dlt) // 2 + kk)      # (B, P, 2, 2)
+    mag4 = jnp.where(a4 == 0, 0, 2 * a4 - dlt)
+    dq4 = (mag4 * ls + bd_offset) >> bd_shift
+    dist4 = jnp.abs(atc - dq4)
+    rate4 = _lut1024_i32(lam_dq, jnp.clip(a4 + 1, 0, 1023))
+    smag4 = jnp.where(tc < 0, -mag4, mag4)
 
-    def eval_a(a):
-        mag = jnp.where(a == 0, 0, 2 * a - delta)
-        dq = (mag * ls + bd_offset) >> bd_shift
-        dist = jnp.abs(jnp.abs(tc) - dq)
-        bits = jnp.where((a == 0) & trailing_s[None, None, :], 0, a + 1)
-        c = 128 * dist + lam_dq[jnp.clip(bits, 0, 1023)]
-        c = c - jnp.where(is_dc[None, :, None] & trailing_s[None, None, :]
-                          & (a == 0), lam_dq[1], 0)
-        nstate = trans[q_states[None, None, :], a & 1] * 2 + \
-            (trailing_s[None, None, :] & (a == 0)).astype(jnp.int32)
-        return c, jnp.where(tc < 0, -mag, mag), nstate
+    # ---- expand to the 8 states (constant-index take along the delta
+    # axis), fix up trailing-zero rate, DC correction, zero-kill for k=1
+    a8 = a4[:, :, delta_s, :]                            # (B, P, 8, 2)
+    az = a8 == 0
+    tr8 = jnp.asarray(trailing_s)[None, None, :, None]
+    rate8 = jnp.where(az & tr8, 0, rate4[:, :, delta_s, :])
+    c = 128 * dist4[:, :, delta_s, :] + rate8
+    c = c - jnp.where(is_dc[None, :, None, None] & tr8 & az, lam_dq[1], 0)
+    c = jnp.where(zero & (kk == 1), BIG, c)              # zeros: one option
+    nstate = _trans_next(jnp.asarray(q_states)[None, None, :, None],
+                         a8 & 1) * 2 + (tr8 & az).astype(jnp.int32)
+    smag8 = smag4[:, :, delta_s, :]
 
-    eye8 = jnp.arange(8)
-    E = jnp.full((B, P, 8, 8), BIG, jnp.int32)           # [src, dst] costs
     # 16-slot (src-major, k-minor) edge tables: the native/spec kernel's
     # relax order is source state OUTER / k INNER (wrenc_native.cpp
     # wrenc_trellis_quant), so destination TIES must resolve to the lowest
     # (src, k) in that order — argmin over slot = 2*src + k does
-    E16 = jnp.full((B, P, 16, 8), BIG, jnp.int32)
-    M16 = jnp.zeros((B, P, 16, 8), jnp.int32)
-    for k in (0, 1):
-        a = jnp.where(zero, 0, a0 + k)
-        c, mag, nstate = eval_a(a)
-        c = jnp.where(zero & (k == 1), BIG, c)           # zeros: one option
-        hot = eye8[None, None, None, :] == nstate[..., None]  # (B,P,8,8)
-        ck = jnp.where(hot, c[..., None], BIG)
-        mk = jnp.where(hot, mag[..., None], 0)
-        better = ck < E                                   # values: ties moot
-        E = jnp.where(better, ck, E)
-        E16 = E16.at[:, :, k::2, :].set(ck)
-        M16 = M16.at[:, :, k::2, :].set(mk)
+    hot = jnp.arange(8)[None, None, None, None, :] == nstate[..., None]
+    ck = jnp.where(hot, c[..., None], BIG)               # (B, P, 8, 2, 8)
+    mk = jnp.where(hot, smag8[..., None], 0)
+    E = ck.min(axis=3)                                   # (B, P, 8, 8)
+    E16 = ck.reshape(B, P, 16, 8)
+    M16 = mk.reshape(B, P, 16, 8)
 
     # ---- prefix min-plus products (normalized per prefix to stay int32)
     def combine(Aa, Bb):
@@ -362,27 +455,27 @@ def trellis_depquant_pscan(t, ls, bd_shift, lam_dq, log2_n):
     v0 = jnp.full((8,), BIG, jnp.int32).at[1].set(0)
     v_prev = jnp.concatenate(
         [jnp.broadcast_to(v0, (B, 1, 8)), v[:, :-1, :]], axis=1)
-    slot_src = jnp.repeat(jnp.arange(8), 2)               # (16,)
+    slot_src = np.repeat(np.arange(8), 2)                 # (16,) static
     f16 = jnp.argmin(v_prev[:, :, slot_src, None] + E16,
                      axis=-2).astype(jnp.int32)           # (B, P, 8)
-    f = slot_src[f16]
+    f = f16 >> 1                                          # slot -> src state
 
     def compose(g, h):
         # reverse-scan suffix composition: result[p][x] =
         # f_p[f_{p+1}[...[x]]] (argument order verified empirically for
         # jax.lax.associative_scan(reverse=True))
-        return jnp.take_along_axis(h, g, axis=-1)
+        return _sel_map(h, g)
 
     F = jax.lax.associative_scan(compose, f, axis=1, reverse=True)
     # state AFTER position p on the optimal path
     s_after = jnp.concatenate(
-        [jnp.take_along_axis(
-            F[:, 1:, :], final_state[:, None, None].repeat(P - 1, 1),
-            axis=-1)[..., 0],
+        [_sel_last(F[:, 1:, :], jnp.broadcast_to(final_state[:, None],
+                                                 (B, P - 1))),
          final_state[:, None]], axis=1)                  # (B, P)
-    slot = jnp.take_along_axis(f16, s_after[..., None], axis=-1)[..., 0]
-    qf = M16[jnp.arange(B)[:, None], jnp.arange(P)[None, :],
-             slot, s_after]                              # (B, P)
+    slot = _sel_last(f16, s_after)
+    qf = _sel_last(_sel_last(M16, jnp.broadcast_to(s_after[:, :, None],
+                                                   (B, P, 16))),
+                   slot)                                 # (B, P)
     q = jnp.zeros((B, (1 << log2_n) ** 2), jnp.int32)
     q = q.at[:, order].set(qf)
     return q.reshape(t.shape).astype(jnp.int16)

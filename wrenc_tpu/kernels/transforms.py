@@ -49,6 +49,10 @@ def _f32mm_split(a, spec, t, bits=9):
 
 @jax.jit
 def _forward(res):
+    return forward_impl(res)
+
+
+def forward_impl(res):
     n = res.shape[-1]
     log2n = n.bit_length() - 1
     t = jnp.asarray(_dct2(n))
@@ -68,6 +72,10 @@ def inverse_dct2(coeffs):
 
 @jax.jit
 def _inverse(coeffs):
+    return inverse_impl(coeffs)
+
+
+def inverse_impl(coeffs):
     n = coeffs.shape[-1]
     t = jnp.asarray(_dct2(n))
     # vertical: V[y,x] = sum_i T[i,y] C[i,x]

@@ -307,52 +307,39 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                         + u[:, jnp.asarray(ni)] + 2) >> 2)
         return jnp.concatenate([u, uf], axis=1)
 
-    def tq_rd(pred, orig, ls, bd, lam_dq, lv, log2):
-        """pred/orig (B, s*s) -> (q (B,s,s) i16, rec (B,s*s) i32,
-        ssd (B,) i32, level (B,) f32): trellis encode + RD level rate."""
+    def tq_merged(jobs, log2, lam_dq, lv):
+        """ONE trellis+rate+dequant+inverse chain for every job at one
+        block size. jobs: [(pred (N_i, P), orig (N_i, P), ls_i, bd_i)]
+        with per-job (possibly different) quant params carried as per-row
+        vectors. Returns [(q (N_i,s,s) i16, rec, ssd, level)] per job.
+        Non-jitted kernel impls so XLA fuses across the call boundaries
+        (nested jits compiled as closed_calls measurably serialize the
+        scan body)."""
         s = 1 << log2
+        pred = jnp.concatenate([j[0] for j in jobs], 0)
+        orig = jnp.concatenate([j[1] for j in jobs], 0)
+        ls_r = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(j[2], jnp.int32),
+                              (j[0].shape[0],)) for j in jobs])
+        bd_r = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(j[3], jnp.int32),
+                              (j[0].shape[0],)) for j in jobs])
         res = (orig - pred).reshape(-1, s, s)
-        t = transforms._forward(res)
-        q = kq.trellis_depquant_pscan(t, ls, bd, lam_dq, log2)
-        level = kq.dq_rate_device(q, log2, lv)
-        d = kq.dequantize(q, ls, bd)
-        r = transforms._inverse(d)
+        t = transforms.forward_impl(res)
+        q = kq.trellis_pscan_impl(t, ls_r, bd_r, lam_dq, log2)
+        level = kq.dq_rate_impl(q, log2, lv)
+        d = kq.dequantize_impl(q, ls_r, bd_r)
+        r = transforms.inverse_impl(d)
         rec = jnp.clip(pred.reshape(-1, s, s) + r, 0, 255).reshape(
             pred.shape[0], -1)
         ssd = ((rec - orig) ** 2).sum(1)
-        return q, rec, ssd, level
-
-    def cclm_redecide(planes, bf, bi, g, cs, ocb, ocr, cost_d, args):
-        """Best-of-3 CCLM by prediction SAD, full RD of the pick, compare
-        to the derived cost (derived wins ties) — RdCommitter tail."""
-        lam_dq, lv, lam, ls_c, bd_c, cclm_mb = args
-        masks, gxs, gys = g[7], g[8], g[9]
-        log2c = cs.bit_length() - 1
-        luma3 = planes[0][:, :-1].reshape(F, H, W)
-        cb3 = planes[1][:, :-1].reshape(F, H // 2, W // 2)
-        cr3 = planes[2][:, :-1].reshape(F, H // 2, W // 2)
-        mk = jnp.asarray(masks)[bi]
-        gx = jnp.asarray(gxs)[bi]
-        gy = jnp.asarray(gys)[bi]
-        pcb, pcr = [], []
-        for m in (81, 82, 83):
-            pcb.append(intra_pred.predict_cclm(
-                m, luma3, cb3, gx, gy, cs, mk, 1 << log2_ctu, bf))
-            pcr.append(intra_pred.predict_cclm(
-                m, luma3, cr3, gx, gy, cs, mk, 1 << log2_ctu, bf))
-        pcb = jnp.stack(pcb, 1).reshape(-1, 3, cs * cs)    # (B, 3, P)
-        pcr = jnp.stack(pcr, 1).reshape(-1, 3, cs * cs)
-        sad = (jnp.abs(pcb - ocb[:, None, :]).sum(2)
-               + jnp.abs(pcr - ocr[:, None, :]).sum(2))    # (B, 3)
-        pick = jnp.argmin(sad, axis=1)                     # 81 wins ties
-        B = pick.shape[0]
-        pb = pcb[jnp.arange(B), pick]
-        pr = pcr[jnp.arange(B), pick]
-        qcb, rcb, scb, lcb = tq_rd(pb, ocb, ls_c, bd_c, lam_dq, lv, log2c)
-        qcr, rcr, scr, lcr = tq_rd(pr, ocr, ls_c, bd_c, lam_dq, lv, log2c)
-        cost_c = _cost16384(scb + scr, lcb + lcr, cclm_mb[pick], lam)
-        use = cost_c < cost_d                              # derived wins ties
-        return use, 81 + pick, cost_c, (qcb, rcb), (qcr, rcr)
+        out, off = [], 0
+        for j in jobs:
+            n = j[0].shape[0]
+            out.append((q[off:off + n], rec[off:off + n],
+                        ssd[off:off + n], level[off:off + n]))
+            off += n
+        return out
 
     def run_impl(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T,
                  cclm_mb, ncc, mats):
@@ -363,83 +350,121 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
 
         def step(carry, xt):
             ry, rcb, rcr, mm = carry
-            planes = [ry, rcb, rcr]
+            # ---- wave A: every class' luma + derived-chroma predictions
+            # against the CARRY reconstruction (same-rank CUs are never
+            # neighbours, so this step's scatters cannot affect them),
+            # then ONE merged trellis-RD chain per distinct block size.
+            A = {}
+
+            def push(jobs, lg, pred, orig, ls_v, bd_v):
+                jobs.setdefault(lg, []).append((pred, orig, ls_v, bd_v))
+                return lg, len(jobs[lg]) - 1
+
+            pre = {}
+            for ck in classes:
+                tree, log2 = ck
+                cap = capd[ck]
+                x = xt[ck]
+                s = 1 << log2
+                cs = (s >> 1) if tree == 'S' else 4
+                lgc = cs.bit_length() - 1
+                bf, bi = x['bf'], x['bi']
+                ls_c, bd_c = ls_tab[1, lgc - 2], bd_tab[1, lgc - 2]
+                d = {'cs': cs}
+                if tree != 'C':
+                    g = geo[(tree, log2, 0)]
+                    cl = jnp.clip(x['cands'], 0, 66)
+                    v = build_v(ry, bf, bi, g)
+                    pall = intra_pred.predict_all_modes_m(
+                        v, mats[('y', s)], s)
+                    p6 = jnp.take_along_axis(pall, cl[:, :, None], 1)
+                    orig = oy[bf[:, None], jnp.asarray(g[5])[bi]]
+                    o6 = jnp.broadcast_to(orig[:, None, :],
+                                          (cap, n_cand, s * s))
+                    d['cl'] = cl
+                    d['luma'] = push(A, log2, p6.reshape(-1, s * s),
+                                     o6.reshape(-1, s * s),
+                                     ls_tab[0, log2 - 2],
+                                     bd_tab[0, log2 - 2])
+                if tree != 'L':
+                    gc = geo[(tree, log2, 1)]
+                    vcb = build_v(rcb, bf, bi, gc)
+                    vcr = build_v(rcr, bf, bi, gc)
+                    d['ocb'] = ocb[bf[:, None], jnp.asarray(gc[5])[bi]]
+                    d['ocr'] = ocr[bf[:, None], jnp.asarray(gc[5])[bi]]
+                    if tree == 'S':
+                        pcb6 = jnp.take_along_axis(
+                            intra_pred.predict_all_modes_m(
+                                vcb, mats[('c', cs)], cs),
+                            d['cl'][:, :, None], 1)
+                        pcr6 = jnp.take_along_axis(
+                            intra_pred.predict_all_modes_m(
+                                vcr, mats[('c', cs)], cs),
+                            d['cl'][:, :, None], 1)
+                        o6cb = jnp.broadcast_to(d['ocb'][:, None, :],
+                                                (cap, n_cand, cs * cs))
+                        o6cr = jnp.broadcast_to(d['ocr'][:, None, :],
+                                                (cap, n_cand, cs * cs))
+                        d['cb'] = push(A, lgc, pcb6.reshape(-1, cs * cs),
+                                       o6cb.reshape(-1, cs * cs), ls_c,
+                                       bd_c)
+                        d['cr'] = push(A, lgc, pcr6.reshape(-1, cs * cs),
+                                       o6cr.reshape(-1, cs * cs), ls_c,
+                                       bd_c)
+                    else:
+                        # SCIPU chroma: derived from the centre child
+                        derived = mm[bf, jnp.clip(x['ci'], 0)]
+                        pcb = intra_pred.predict_modes_m(vcb, derived,
+                                                         mats[('c', 4)])
+                        pcr = intra_pred.predict_modes_m(vcr, derived,
+                                                         mats[('c', 4)])
+                        d['derived'] = derived
+                        d['cb'] = push(A, 2, pcb, d['ocb'], ls_c, bd_c)
+                        d['cr'] = push(A, 2, pcr, d['ocr'], ls_c, bd_c)
+                pre[ck] = d
+            resA = {lg: tq_merged(jobs, lg, lam_dq, lv)
+                    for lg, jobs in A.items()}
+
+            def got(res, tag):
+                lg, i = tag
+                return res[lg][i]
+
+            # ---- phase 2: luma ranking + scatters + mode map; derived
+            # chroma costs kept for the CCLM comparison
             out = {}
             for ck in classes:
                 tree, log2 = ck
                 cap = capd[ck]
                 x = xt[ck]
-                valid = x['valid']
-                bf = x['bf']
-                bi = x['bi']
+                d = pre[ck]
+                valid, bf, bi = x['valid'], x['bf'], x['bi']
                 s = 1 << log2
-                cs = (s >> 1) if tree == 'S' else 4
-                ls_c = ls_tab[1, (cs.bit_length() - 1) - 2]
-                bd_c = bd_tab[1, (cs.bit_length() - 1) - 2]
+                cs = d['cs']
                 o = {}
                 if tree != 'C':
-                    # ---------------- luma candidate ranking (trellis RD)
                     g = geo[(tree, log2, 0)]
                     scat, cells = g[5], g[10]
-                    ls_y = ls_tab[0, log2 - 2]
-                    bd_y = bd_tab[0, log2 - 2]
-                    cands = x['cands']                        # (cap, K)
-                    cl = jnp.clip(cands, 0, 66)
-                    v = build_v(ry, bf, bi, g)
-                    pall = intra_pred.predict_all_modes_m(
-                        v, mats[('y', s)], s)
-                    p6 = jnp.take_along_axis(pall, cl[:, :, None], 1)
-                    orig = oy[bf[:, None], jnp.asarray(scat)[bi]]  # (cap,P)
-                    o6 = jnp.broadcast_to(orig[:, None, :],
-                                          (cap, n_cand, s * s))
-                    qy, recy, ssd, level = tq_rd(
-                        p6.reshape(-1, s * s), o6.reshape(-1, s * s),
-                        ls_y, bd_y, lam_dq, lv, log2)
+                    qy, recy, ssd, level = got(resA, d['luma'])
                     l = jnp.where(x['li'] < 0, 0,
                                   mm[bf, jnp.clip(x['li'], 0)])
                     a = jnp.where(x['ai'] < 0, 0,
                                   mm[bf, jnp.clip(x['ai'], 0)])
-                    mb = T[l[:, None], a[:, None], cl]        # (cap, K)
+                    mb = T[l[:, None], a[:, None], d['cl']]   # (cap, K)
                     cost_y_mat = _cost16384(ssd.reshape(cap, n_cand),
-                                            level.reshape(cap, n_cand), mb,
-                                            lam)
+                                            level.reshape(cap, n_cand),
+                                            mb, lam)
                     cost = cost_y_mat
                     if tree == 'S':
-                        # chroma (derived mode) folded into the ranking
-                        gc = geo[(tree, log2, 1)]
-                        vcb = build_v(rcb, bf, bi, gc)
-                        vcr = build_v(rcr, bf, bi, gc)
-                        ocb_b = ocb[bf[:, None], jnp.asarray(gc[5])[bi]]
-                        ocr_b = ocr[bf[:, None], jnp.asarray(gc[5])[bi]]
-                        pcb6 = jnp.take_along_axis(
-                            intra_pred.predict_all_modes_m(
-                                vcb, mats[('c', cs)], cs),
-                            cl[:, :, None], 1)
-                        pcr6 = jnp.take_along_axis(
-                            intra_pred.predict_all_modes_m(
-                                vcr, mats[('c', cs)], cs),
-                            cl[:, :, None], 1)
-                        o6cb = jnp.broadcast_to(ocb_b[:, None, :],
-                                                (cap, n_cand, cs * cs))
-                        o6cr = jnp.broadcast_to(ocr_b[:, None, :],
-                                                (cap, n_cand, cs * cs))
-                        qcb, reccb, ssdcb, lvlcb = tq_rd(
-                            pcb6.reshape(-1, cs * cs),
-                            o6cb.reshape(-1, cs * cs),
-                            ls_c, bd_c, lam_dq, lv, cs.bit_length() - 1)
-                        qcr, reccr, ssdcr, lvlcr = tq_rd(
-                            pcr6.reshape(-1, cs * cs),
-                            o6cr.reshape(-1, cs * cs),
-                            ls_c, bd_c, lam_dq, lv, cs.bit_length() - 1)
+                        qcb, reccb, ssdcb, lvlcb = got(resA, d['cb'])
+                        qcr, reccr, ssdcr, lvlcr = got(resA, d['cr'])
                         ssd_c = (ssdcb + ssdcr).reshape(cap, n_cand)
                         lvl_c = (lvlcb + lvlcr).reshape(cap, n_cand)
                         cost = cost + _cost16384(ssd_c, lvl_c,
                                                  jnp.float32(0.0), lam)
-                    cost = jnp.where(cands < 0, BIG_COST, cost)
+                    cost = jnp.where(x['cands'] < 0, BIG_COST, cost)
                     win = jnp.argmin(cost, axis=1)            # (cap,)
                     ar = jnp.arange(cap)
-                    cost_y_w = cost_y_mat[ar, win]
-                    m_win = cl[ar, win]
+                    m_win = d['cl'][ar, win]
                     qy_w = qy.reshape(cap, n_cand, s, s)[ar, win]
                     recy_w = recy.reshape(cap, n_cand, -1)[ar, win]
                     rows = jnp.where(valid[:, None],
@@ -449,69 +474,125 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                                      jnp.asarray(cells)[bi], n4)
                     mm = mm.at[bf[:, None], crow].set(
                         jnp.broadcast_to(m_win[:, None], crow.shape))
-                    planes[0] = ry
                     o['mode'] = m_win
                     o['qy'] = qy_w
                     if tree == 'L':
-                        o['cost'] = cost_y_w
+                        o['cost'] = cost_y_mat[ar, win]
                     if tree == 'S':
-                        qcb_w = qcb.reshape(cap, n_cand, cs, cs)[ar, win]
-                        qcr_w = qcr.reshape(cap, n_cand, cs, cs)[ar, win]
-                        rcb_w = reccb.reshape(cap, n_cand, -1)[ar, win]
-                        rcr_w = reccr.reshape(cap, n_cand, -1)[ar, win]
-                        cost_d = _cost16384(ssd_c[ar, win],
-                                            lvl_c[ar, win], ncc, lam)
-                        derived = m_win
+                        d['cost_y_w'] = cost_y_mat[ar, win]
+                        d['qcb_w'] = qcb.reshape(cap, n_cand,
+                                                 cs, cs)[ar, win]
+                        d['qcr_w'] = qcr.reshape(cap, n_cand,
+                                                 cs, cs)[ar, win]
+                        d['rcb_w'] = reccb.reshape(cap, n_cand, -1)[ar, win]
+                        d['rcr_w'] = reccr.reshape(cap, n_cand, -1)[ar, win]
+                        d['cost_d'] = _cost16384(ssd_c[ar, win],
+                                                 lvl_c[ar, win], ncc, lam)
+                        d['derived'] = m_win
                 else:
-                    # SCIPU chroma CU: derived from the centre child's mode
-                    g = geo[(tree, log2, 1)]
-                    derived = mm[bf, jnp.clip(x['ci'], 0)]
-                    vcb = build_v(rcb, bf, bi, g)
-                    vcr = build_v(rcr, bf, bi, g)
-                    ocb_b = ocb[bf[:, None], jnp.asarray(g[5])[bi]]
-                    ocr_b = ocr[bf[:, None], jnp.asarray(g[5])[bi]]
-                    pcb = intra_pred.predict_modes_m(vcb, derived,
-                                                     mats[('c', 4)])
-                    pcr = intra_pred.predict_modes_m(vcr, derived,
-                                                     mats[('c', 4)])
-                    qcb_w, rcb_w, scb, lcb = tq_rd(pcb, ocb_b, ls_c, bd_c,
-                                                   lam_dq, lv, 2)
-                    qcr_w, rcr_w, scr, lcr = tq_rd(pcr, ocr_b, ls_c, bd_c,
-                                                   lam_dq, lv, 2)
-                    cost_d = _cost16384(scb + scr, lcb + lcr, ncc, lam)
-
-                if tree != 'L':
-                    gc = geo[(tree, log2, 1)]
-                    cmode = derived
-                    cost_ch = cost_d
-                    if cclm_enabled:
-                        planes[1], planes[2] = rcb, rcr
-                        use, cm_c, cost_c, (qcb_c, rcb_c), (qcr_c, rcr_c) = \
-                            cclm_redecide(planes, bf, bi, gc, cs, ocb_b,
-                                          ocr_b, cost_d,
-                                          (lam_dq, lv, lam, ls_c, bd_c,
-                                           cclm_mb))
-                        cmode = jnp.where(use, cm_c, derived)
-                        cost_ch = jnp.where(use, cost_c, cost_d)
-                        qcb_w = jnp.where(use[:, None, None], qcb_c, qcb_w)
-                        qcr_w = jnp.where(use[:, None, None], qcr_c, qcr_w)
-                        rcb_w = jnp.where(use[:, None], rcb_c, rcb_w)
-                        rcr_w = jnp.where(use[:, None], rcr_c, rcr_w)
-                    crows = jnp.where(valid[:, None],
-                                      jnp.asarray(gc[5])[bi], hw)
-                    rcb = rcb.at[bf[:, None], crows].set(rcb_w)
-                    rcr = rcr.at[bf[:, None], crows].set(rcr_w)
-                    planes[1], planes[2] = rcb, rcr
-                    o['cmode'] = cmode
-                    o['qcb'] = qcb_w
-                    o['qcr'] = qcr_w
-                    # per-CU RD cost (ssd + lam*(level + mb*16384)/16384
-                    # over active components, no header constant) — the
-                    # refine comparison reads these (RdCommitter::commit_cu
-                    # return value)
-                    o['cost'] = (cost_y_w + cost_ch if tree == 'S'
-                                 else cost_ch)
+                    qcb_w, rcb_w, scb, lcb = got(resA, d['cb'])
+                    qcr_w, rcr_w, scr, lcr = got(resA, d['cr'])
+                    d['qcb_w'], d['rcb_w'] = qcb_w, rcb_w
+                    d['qcr_w'], d['rcr_w'] = qcr_w, rcr_w
+                    d['cost_d'] = _cost16384(scb + scr, lcb + lcr, ncc,
+                                             lam)
                 out[ck] = o
+
+            # ---- wave B: best-of-3 CCLM per chroma CU, ONE mode+comp
+            # vectorized prediction call per class on the UPDATED luma
+            # (CCLM reads the CU's own just-committed luma), then one
+            # merged trellis chain per chroma size (RdCommitter tail)
+            Bj = {}
+            if cclm_enabled:
+                luma3 = ry[:, :-1].reshape(F, H, W)
+                cbcr = jnp.stack(
+                    [rcb[:, :-1].reshape(F, H // 2, W // 2),
+                     rcr[:, :-1].reshape(F, H // 2, W // 2)],
+                    axis=1).reshape(2 * F, H // 2, W // 2)
+                for ck in classes:
+                    tree, log2 = ck
+                    if tree == 'L':
+                        continue
+                    cap = capd[ck]
+                    x = xt[ck]
+                    d = pre[ck]
+                    cs = d['cs']
+                    lgc = cs.bit_length() - 1
+                    gc = geo[(tree, log2, 1)]
+                    mk = jnp.asarray(gc[7])[x['bi']]
+                    gx = jnp.asarray(gc[8])[x['bi']]
+                    gy = jnp.asarray(gc[9])[x['bi']]
+                    modes6 = jnp.repeat(jnp.arange(81, 84, dtype=jnp.int32),
+                                        2 * cap)
+                    comp6 = jnp.tile(jnp.repeat(
+                        jnp.arange(2, dtype=jnp.int32), cap), 3)
+                    bf6 = jnp.tile(x['bf'], 6)
+                    p6 = intra_pred.predict_cclm_impl(
+                        modes6, luma3, cbcr, jnp.tile(gx, 6),
+                        jnp.tile(gy, 6), cs, jnp.tile(mk, (6, 1)),
+                        1 << log2_ctu, bf6 * 2 + comp6, bf_luma=bf6)
+                    p6 = p6.reshape(3, 2, cap, cs * cs)
+                    pcb3, pcr3 = p6[:, 0], p6[:, 1]           # (3, cap, P)
+                    sad = (jnp.abs(pcb3 - d['ocb'][None]).sum(2)
+                           + jnp.abs(pcr3 - d['ocr'][None]).sum(2))
+                    pick = jnp.argmin(sad, axis=0)            # 81 wins ties
+                    hot = (jnp.arange(3)[:, None] == pick[None, :])[
+                        :, :, None]
+                    pb = jnp.sum(jnp.where(hot, pcb3, 0), 0)
+                    pr = jnp.sum(jnp.where(hot, pcr3, 0), 0)
+                    d['pick'] = pick
+                    d['ccb'] = push(Bj, lgc, pb, d['ocb'],
+                                    ls_tab[1, lgc - 2], bd_tab[1, lgc - 2])
+                    d['ccr'] = push(Bj, lgc, pr, d['ocr'],
+                                    ls_tab[1, lgc - 2], bd_tab[1, lgc - 2])
+            resB = {lg: tq_merged(jobs, lg, lam_dq, lv)
+                    for lg, jobs in Bj.items()}
+
+            # ---- phase 4: CCLM-vs-derived decision + chroma scatters
+            for ck in classes:
+                tree, log2 = ck
+                if tree == 'L':
+                    continue
+                cap = capd[ck]
+                x = xt[ck]
+                d = pre[ck]
+                valid, bf, bi = x['valid'], x['bf'], x['bi']
+                gc = geo[(tree, log2, 1)]
+                o = out[ck]
+                derived = d['derived']
+                cost_d = d['cost_d']
+                qcb_w, rcb_w = d['qcb_w'], d['rcb_w']
+                qcr_w, rcr_w = d['qcr_w'], d['rcr_w']
+                cmode = derived
+                cost_ch = cost_d
+                if cclm_enabled:
+                    qcb_c, rcb_c, scb, lcb = got(resB, d['ccb'])
+                    qcr_c, rcr_c, scr, lcr = got(resB, d['ccr'])
+                    cs = d['cs']
+                    qcb_c = qcb_c.reshape(cap, cs, cs)
+                    qcr_c = qcr_c.reshape(cap, cs, cs)
+                    pick = d['pick']
+                    cost_c = _cost16384(scb + scr, lcb + lcr,
+                                        cclm_mb[pick], lam)
+                    use = cost_c < cost_d                 # derived wins ties
+                    cmode = jnp.where(use, 81 + pick, derived)
+                    cost_ch = jnp.where(use, cost_c, cost_d)
+                    qcb_w = jnp.where(use[:, None, None], qcb_c, qcb_w)
+                    qcr_w = jnp.where(use[:, None, None], qcr_c, qcr_w)
+                    rcb_w = jnp.where(use[:, None], rcb_c, rcb_w)
+                    rcr_w = jnp.where(use[:, None], rcr_c, rcr_w)
+                crows = jnp.where(valid[:, None],
+                                  jnp.asarray(gc[5])[bi], hw)
+                rcb = rcb.at[bf[:, None], crows].set(rcb_w)
+                rcr = rcr.at[bf[:, None], crows].set(rcr_w)
+                o['cmode'] = cmode
+                o['qcb'] = qcb_w
+                o['qcr'] = qcr_w
+                # per-CU RD cost (ssd + lam*(level + mb*16384)/16384 over
+                # active components, no header constant) — the refine
+                # comparison reads these (RdCommitter::commit_cu return)
+                o['cost'] = (d['cost_y_w'] + cost_ch if tree == 'S'
+                             else cost_ch)
             return (ry, rcb, rcr, mm), out
 
         carry, ys = jax.lax.scan(step, (planes0[0], planes0[1], planes0[2],
