@@ -7,7 +7,7 @@ reconstructs from them.
 from dataclasses import dataclass, field
 
 
-@dataclass
+@dataclass(slots=True)
 class CuDecision:
     x: int
     y: int
@@ -32,7 +32,7 @@ class CuDecision:
     qp_y: int = None
 
 
-@dataclass
+@dataclass(slots=True)
 class CtuSao:
     """Per-CTU SAO parameters (ctu.rs:84-135; syntax ctu_encoder.rs:2611).
 
@@ -49,7 +49,7 @@ class CtuSao:
     eo_class: list = field(default_factory=lambda: [0, 0])
 
 
-@dataclass
+@dataclass(slots=True)
 class CtNode:
     x: int
     y: int
