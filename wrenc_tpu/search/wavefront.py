@@ -134,19 +134,64 @@ class WavefrontSearch:
         """Chunked batched API: frames are processed in fixed-size stage-A
         batches (padded to a bucket size). The device stage A of chunk k+1
         is dispatched BEFORE the host passes of chunk k run (JAX dispatch
-        is asynchronous), so the TPU computes under the host commit.
-        Returns [(trees, recon), ...]."""
+        is asynchronous), so the TPU computes under the host commit; the
+        commit of chunk k additionally runs in a worker thread (ctypes /
+        device calls release the GIL) under chunk k+1's Python decide
+        phase. Returns [(trees, recon), ...]."""
         self.phase_times = {}
         out = []
         max_b = self._buckets()[-1]
         chunks = [frames[i:i + max_b] for i in range(0, len(frames), max_b)]
         pending = self._dispatch_stage_a(chunks[0])
-        for k, chunk in enumerate(chunks):
-            nxt = (self._dispatch_stage_a(chunks[k + 1])
-                   if k + 1 < len(chunks) else None)
-            out.extend(self._finish_chunk(chunk, pending))
-            pending = nxt
+        from ..entropy import native
+        overlap = (len(chunks) > 1
+                   and not tuple(getattr(self.cfg, 'qp_delta_pattern', ())
+                                 or ())
+                   and (self._device_commit or
+                        (native.commit_supported()
+                         and (not self.rd_commit
+                              or native.tree_commit_supported()))))
+        if not overlap:
+            for k, chunk in enumerate(chunks):
+                nxt = (self._dispatch_stage_a(chunks[k + 1])
+                       if k + 1 < len(chunks) else None)
+                out.extend(self._finish_chunk(chunk, pending))
+                pending = nxt
+            return out
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            prev = None
+            for k, chunk in enumerate(chunks):
+                nxt = (self._dispatch_stage_a(chunks[k + 1])
+                       if k + 1 < len(chunks) else None)
+                batch, trees = self._decide_chunk(chunk, pending)
+                if prev is not None:
+                    out.extend(self._join_commit(prev))
+                timing = {}
+                fut = pool.submit(self._commit_timed, batch, trees, timing)
+                prev = (fut, trees, timing)
+                pending = nxt
+            out.extend(self._join_commit(prev))
         return out
+
+    def _commit_timed(self, batch, all_trees, timing):
+        import time as _time
+        t0 = _time.perf_counter()
+        recons = self._commit_all(all_trees, batch)
+        timing['work'] = _time.perf_counter() - t0
+        return recons
+
+    def _join_commit(self, prev):
+        import time as _time
+        fut, trees, timing = prev
+        t0 = _time.perf_counter()
+        recons = fut.result()
+        # host_commit = time this thread BLOCKED on the commit (the
+        # overlap with the next chunk's decide is hidden);
+        # host_commit_work = the commit's own wall time in the worker
+        self._phase('host_commit', _time.perf_counter() - t0)
+        self._phase('host_commit_work', timing.get('work', 0.0))
+        return list(zip(trees, recons))
 
     def _bucket(self, n):
         bs = self._buckets()
@@ -193,7 +238,18 @@ class WavefrontSearch:
         return batch, sizes, res
 
     def _finish_chunk(self, frames, dispatched):
-        """Block on a dispatched stage A, then run the host passes."""
+        """Block on a dispatched stage A, then run the host passes
+        sequentially (the non-overlapped path)."""
+        import time as _time
+        batch, all_trees = self._decide_chunk(frames, dispatched)
+        t0 = _time.perf_counter()
+        recons = self._commit_all(all_trees, batch)
+        self._phase('host_commit', _time.perf_counter() - t0)
+        return list(zip(all_trees, recons))
+
+    def _decide_chunk(self, frames, dispatched):
+        """Block on a dispatched stage A and run the decide phases;
+        returns (batch, all_trees) ready for _commit_all."""
         import time as _time
         cfg = self.cfg
         self.batch, sizes, res = dispatched
@@ -229,16 +285,16 @@ class WavefrontSearch:
                 sizes, fi, luma_mode_b, chroma_cache)
             all_trees.append(trees)
         self._phase('host_decide', _time.perf_counter() - t0)
-        t0 = _time.perf_counter()
-        recons = self._commit_all(all_trees)
-        self._phase('host_commit', _time.perf_counter() - t0)
-        return list(zip(all_trees, recons))
+        return self.batch, all_trees
 
-    def _commit_all(self, all_trees):
+    def _commit_all(self, all_trees, batch):
         """Commit every frame's decisions against true reconstruction.
 
         Uses the native C++ commit engine (coding-order walk, threaded
         across frames) when available, else the NumPy rank-wavefront path.
+        May run in a worker thread (see encode_frames) — the native/device
+        branches only touch `batch`/`all_trees`, never chunk-coupled
+        instance state.
         """
         cfg = self.cfg
         pat = tuple(getattr(cfg, 'qp_delta_pattern', ()) or ())
@@ -254,12 +310,12 @@ class WavefrontSearch:
                                           0, 63))
             recons = []
             for fi, trees in enumerate(all_trees):
-                self.orig = self.batch[fi]
+                self.orig = batch[fi]
                 recons.append(self._commit(trees))
             return recons
         if self._device_commit:
             from .device_commit import commit_frames_device_rd
-            return commit_frames_device_rd(self.cfg, self.batch, all_trees)
+            return commit_frames_device_rd(self.cfg, batch, all_trees)
         from ..entropy import native
         if native.commit_supported():
             ls_tab = np.zeros((2, 4), dtype=np.int32)
@@ -278,15 +334,15 @@ class WavefrontSearch:
                         ** rm.pick('lv_pow', dep, True)
                         * 16384.0).astype(np.int64)
                 return native.commit_frames_tree_native(
-                    self.cfg, self.batch, all_trees, ls_tab, bd_tab, lam_dq,
+                    self.cfg, batch, all_trees, ls_tab, bd_tab, lam_dq,
                     self.trellis_commit, lv64)
             cu_lists = [self._collect_cus(trees) for trees in all_trees]
             return native.commit_frames_native(
-                self.cfg, self.batch, cu_lists, ls_tab, bd_tab, lam_dq,
+                self.cfg, batch, cu_lists, ls_tab, bd_tab, lam_dq,
                 self.trellis_commit)
         recons = []
         for fi, trees in enumerate(all_trees):
-            self.orig = self.batch[fi]
+            self.orig = batch[fi]
             recons.append(self._commit(trees))
         return recons
 
