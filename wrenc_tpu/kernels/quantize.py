@@ -295,6 +295,10 @@ def dq_rate_scan(q, log2_n, lv_table):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _dq_rate_scan(q, log2_n, lv_table):
+    return dq_rate_scan_impl(q, log2_n, lv_table)
+
+
+def dq_rate_scan_impl(q, log2_n, lv_table):
     B = q.shape[0]
     order = coding_order(log2_n)
     qf = jnp.abs(q.reshape(B, -1)[:, order].astype(jnp.int32))

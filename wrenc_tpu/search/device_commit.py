@@ -23,7 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..kernels import intra_pred, quantize as kq, refs, transforms
+from ..kernels import intra_pred, quantize as kq, refs, transforms, \
+    trellis_pallas
 from ..spec import quant
 
 BIG_COST = np.float32(3e38)
@@ -326,8 +327,12 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                               (j[0].shape[0],)) for j in jobs])
         res = (orig - pred).reshape(-1, s, s)
         t = transforms.forward_impl(res)
-        q = kq.trellis_pscan_impl(t, ls_r, bd_r, lam_dq, log2)
-        level = kq.dq_rate_impl(q, log2, lv)
+        # in-VMEM sequential Viterbi + committed-level rate in ONE Pallas
+        # kernel — replaces the padded min-plus associative scan
+        # (trellis_pscan_impl) and the (B, P, 8) rate composition
+        # (dq_rate_impl) that dominated the round-3 commit profile
+        q, level = trellis_pallas.trellis_rate_auto(t, ls_r, bd_r, lam_dq,
+                                                    lv, log2)
         d = kq.dequantize_impl(q, ls_r, bd_r)
         r = transforms.inverse_impl(d)
         rec = jnp.clip(pred.reshape(-1, s, s) + r, 0, 255).reshape(
