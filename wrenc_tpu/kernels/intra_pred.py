@@ -151,20 +151,56 @@ def predict_cclm(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
                              ctu_size, bf)
 
 
+def cclm_luma_patch(luma_flat, lx, ly, cs, H, W, bfl):
+    """ONE gather per block: the (4cs+2, 4cs+3) luma window at rows
+    ly-2 .. ly+4cs-1, cols lx-3 .. lx+4cs-1 (edge-clipped like the spec's
+    clamped reads). Every luma access CCLM makes — the 2x2 downsample
+    taps, the two above rows, the three left columns — lands inside it,
+    so the per-sample plane gathers that were scalar-bound on TPU
+    (round-3 bottleneck 2) collapse into one patch gather plus static
+    in-patch slices / small one-hot selects."""
+    B = lx.shape[0]
+    PH, PW = 4 * cs + 2, 4 * cs + 3
+    prow = jnp.clip(ly[:, None] + jnp.arange(PH)[None, :] - 2, 0, H - 1)
+    pcol = jnp.clip(lx[:, None] + jnp.arange(PW)[None, :] - 3, 0, W - 1)
+    pidx = prow[:, :, None] * W + pcol[:, None, :]
+    return luma_flat[bfl[:, None, None], pidx]           # (B, PH, PW)
+
+
+def cclm_chroma_patch(ch_flat, xs, ys, cs, hh, hw, bf):
+    """(B, 2cs+1, 2cs+1) chroma window at rows ys-1 .. ys+2cs-1, cols
+    xs-1 .. xs+2cs-1 (edge-clipped): covers the above-row and left-column
+    boundary samples CCLM fits the linear model on."""
+    CH_, CW_ = 2 * cs + 1, 2 * cs + 1
+    crow = jnp.clip(ys[:, None] + jnp.arange(CH_)[None, :] - 1, 0, hh - 1)
+    ccol = jnp.clip(xs[:, None] + jnp.arange(CW_)[None, :] - 1, 0, hw - 1)
+    cidx = crow[:, :, None] * hw + ccol[:, None, :]
+    return ch_flat[bf[:, None, None], cidx]              # (B, CH, CW)
+
+
+def _sel_cols(row, px, PW):
+    """row (B, PW), px (B, 4) dynamic column picks -> (B, 4); out-of-range
+    picks yield 0 (only ever produced for unused pick slots)."""
+    hot = px[:, :, None] == jnp.arange(PW, dtype=jnp.int32)[None, None, :]
+    return jnp.sum(jnp.where(hot, row[:, None, :], 0), axis=-1)
+
+
 def predict_cclm_impl(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
                       bf=None, bf_luma=None):
     """Batched bit-exact CCLM prediction on device — the jnp twin of
     np_ops.predict_cclm_np (spec/intra.py predict_cclm;
-    intra_predictor.rs:1604-2056), golden-tested against it. One mode
-    (81 LT / 82 L / 83 T) for the whole batch; cs >= 4.
+    intra_predictor.rs:1604-2056), golden-tested against it. cs >= 4.
 
     luma/chroma: full (recon) planes; (xs, ys): chroma block positions;
     masks: (B, 4*cs+1) availability rows (refs.avail_masks geometry).
     Planes may be stacked per frame ((F, H, W) / (F, h, w)) with `bf`
     giving each block's frame index — the on-device commit wavefront
     predicts CUs of a whole frame batch in one call.
-    Completes the device kernel set needed by an on-device commit
-    wavefront (every other prediction mode already runs on device).
+
+    All plane reads go through one luma patch + one chroma patch per row
+    (cclm_luma_patch / cclm_chroma_patch); stacked callers that evaluate
+    several (mode, component) variants per block should build the patches
+    once and call cclm_from_patches directly.
     """
     assert cs >= 4
     luma = luma.astype(jnp.int32)
@@ -173,6 +209,7 @@ def predict_cclm_impl(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
         luma = luma[None]
         chroma = chroma[None]
     H, W = luma.shape[1:]
+    hh, hw = chroma.shape[1:]
     xs = jnp.asarray(xs, jnp.int32)
     ys = jnp.asarray(ys, jnp.int32)
     masks = jnp.asarray(masks)
@@ -181,11 +218,20 @@ def predict_cclm_impl(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
     # chroma may be stacked (2F, h, w) with bf = 2*frame + component while
     # luma stays (F, H, W) — bf_luma then carries the luma frame index
     bfl = bf if bf_luma is None else jnp.asarray(bf_luma, jnp.int32)
+    m = jnp.broadcast_to(jnp.asarray(mode, jnp.int32), (B,))
+    LP = cclm_luma_patch(luma.reshape(luma.shape[0], H * W),
+                         2 * xs, 2 * ys, cs, H, W, bfl)
+    CP = cclm_chroma_patch(chroma.reshape(chroma.shape[0], hh * hw),
+                           xs, ys, cs, hh, hw, bf)
+    return cclm_from_patches(m, LP, CP, masks, 2 * ys, cs, ctu_size)
 
-    def _bx(yy):
-        return jnp.broadcast_to(bfl.reshape((B,) + (1,) * (yy.ndim - 1)),
-                                yy.shape)
-    lx, ly = 2 * xs, 2 * ys
+
+def cclm_from_patches(m, LP, CP, masks, ly, cs, ctu_size):
+    """CCLM prediction from pre-gathered patches. m: (B,) modes (81/82/83);
+    LP: (B, 4cs+2, 4cs+3) luma patches; CP: (B, 2cs+1, 2cs+1) chroma
+    patches; masks: (B, 4cs+1); ly: (B,) luma y of each block."""
+    B = m.shape[0]
+    PH, PW = 4 * cs + 2, 4 * cs + 3
     tw = th = cs
 
     avail_l = masks[:, 1].astype(bool)
@@ -193,9 +239,6 @@ def predict_cclm_impl(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
     nbl = jnp.cumprod(masks[:, 1 + cs:1 + 2 * cs], axis=1).sum(1)
     ntr = jnp.cumprod(masks[:, 1 + 3 * cs:1 + 4 * cs], axis=1).sum(1)
 
-    # mode may be a static int or a per-block (B,) array (the commit scan
-    # evaluates all three CCLM modes in ONE call)
-    m = jnp.broadcast_to(jnp.asarray(mode, jnp.int32), (B,))
     is81, is82, is83 = m == 81, m == 82, m == 83
     num_t = jnp.where(is82, 0, jnp.where(
         avail_t, tw + jnp.where(is83, jnp.minimum(ntr, th), 0), 0))
@@ -214,63 +257,68 @@ def predict_cclm_impl(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
     cnt_t, pick_t = picks(num_t)
     cnt_l, pick_l = picks(num_l)
 
-    def gl(yy, xx):
-        yy, xx = jnp.broadcast_arrays(yy, xx)
-        return luma[_bx(yy), jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+    # ---- 2x2 downsample grid from STATIC patch slices (plane row ly+r is
+    # patch row r+2; plane col lx+c is patch col c+3)
+    r0 = LP[:, 2:2 + 2 * cs:2, :]                        # even luma rows
+    r1 = LP[:, 3:3 + 2 * cs:2, :]                        # odd luma rows
 
-    xg = jnp.arange(cs)[None, :]
-    yg = jnp.arange(cs)[:, None]
-    xc = lx[:, None, None] + 2 * xg[None]
-    xm = xc - 1
-    xm0 = jnp.where(avail_l, lx - 1, lx)
-    xm = jnp.where(xg[None] == 0, xm0[:, None, None], xm)
-    xr = xc + 1
-    r0 = ly[:, None, None] + 2 * yg[None]
-    r1 = r0 + 1
-    p_ds = (gl(r0, xm) + gl(r1, xm) + 2 * gl(r0, xc) + 2 * gl(r1, xc)
-            + gl(r0, xr) + gl(r1, xr) + 4) >> 3
+    def cols(rr, base):
+        return rr[:, :, base:base + 2 * cs:2]            # (B, cs, cs)
 
+    xm_a = cols(r0, 2) + cols(r1, 2)
+    # first downsample column: lx-1 when the left edge exists, else lx
+    xm_edge = (r0[:, :, 2] + r1[:, :, 2])
+    xm_self = (r0[:, :, 3] + r1[:, :, 3])
+    first0 = jnp.arange(cs)[None, None, :] == 0
+    xm_s = jnp.where(avail_l[:, None, None],
+                     xm_edge[:, :, None], xm_self[:, :, None])
+    xm_sum = jnp.where(first0, xm_s, xm_a)
+    xc_sum = cols(r0, 3) + cols(r1, 3)
+    xr_sum = cols(r0, 4) + cols(r1, 4)
+    p_ds = (xm_sum + 2 * xc_sum + xr_sum + 4) >> 3
+
+    # ---- above boundary samples (patch rows 0/1 = plane rows ly-2/ly-1)
     p = pick_t
-    txc = lx[:, None] + 2 * p
-    txm = jnp.where((p > 0) | avail_l[:, None], txc - 1, lx[:, None])
-    txr = txc + 1
-    ra = (ly - 1)[:, None]
-    rb = (ly - 2)[:, None]
+    px_c = 3 + 2 * p
+    px_m = jnp.where((p > 0) | avail_l[:, None], px_c - 1, 3)
+    px_r = px_c + 1
+    ra = LP[:, 1, :]
+    rb = LP[:, 0, :]
     ctu_b = ((ly & (ctu_size - 1)) == 0)[:, None]
-    sel_norm = (gl(ra, txm) + gl(rb, txm) + 2 * gl(ra, txc)
-                + 2 * gl(rb, txc) + gl(ra, txr) + gl(rb, txr) + 4) >> 3
-    sel_bdry = (gl(ra, txm) + 2 * gl(ra, txc) + gl(ra, txr) + 2) >> 2
+    sm_a, sm_b = _sel_cols(ra, px_m, PW), _sel_cols(rb, px_m, PW)
+    sc_a, sc_b = _sel_cols(ra, px_c, PW), _sel_cols(rb, px_c, PW)
+    sr_a, sr_b = _sel_cols(ra, px_r, PW), _sel_cols(rb, px_r, PW)
+    sel_norm = (sm_a + sm_b + 2 * sc_a + 2 * sc_b + sr_a + sr_b + 4) >> 3
+    sel_bdry = (sm_a + 2 * sc_a + sr_a + 2) >> 2
     sel_y_t = jnp.where(ctu_b, sel_bdry, sel_norm)
-    sel_c_t = chroma[bf[:, None], jnp.clip(ys - 1, 0, None)[:, None],
-                     jnp.clip(xs[:, None] + p, 0, W // 2 - 1)]
+    sel_c_t = _sel_cols(CP[:, 0, :], 1 + p, 2 * cs + 1)
 
+    # ---- left boundary samples (patch cols 0/1/2 = plane cols lx-3..lx-1)
     q = pick_l
-    lr0 = ly[:, None] + 2 * q
-    lr1 = lr0 + 1
-    c1_ = jnp.clip(lx - 1, 0, None)[:, None]
-    c2_ = jnp.clip(lx - 2, 0, None)[:, None]
-    c3_ = jnp.clip(lx - 3, 0, None)[:, None]
-    sel_y_l = (gl(lr0, c3_) + gl(lr1, c3_) + 2 * gl(lr0, c2_)
-               + 2 * gl(lr1, c2_) + gl(lr0, c1_) + gl(lr1, c1_) + 4) >> 3
-    sel_c_l = chroma[bf[:, None], jnp.clip(ys[:, None] + q, 0, H // 2 - 1),
-                     jnp.clip(xs - 1, 0, None)[:, None]]
+    py0 = 2 + 2 * q
+    c3r = LP[:, :, 0]
+    c2r = LP[:, :, 1]
+    c1r = LP[:, :, 2]
+    sel_y_l = (_sel_cols(c3r, py0, PH) + _sel_cols(c3r, py0 + 1, PH)
+               + 2 * _sel_cols(c2r, py0, PH) + 2 * _sel_cols(c2r, py0 + 1, PH)
+               + _sel_cols(c1r, py0, PH) + _sel_cols(c1r, py0 + 1, PH)
+               + 4) >> 3
+    sel_c_l = _sel_cols(CP[:, :, 0], 1 + q, 2 * cs + 1)
 
     j = jnp.arange(4)[None, :]
     from_top = j < cnt_t[:, None]
     li = jnp.clip(j - cnt_t[:, None], 0, 3)
-    rows = jnp.arange(B)[:, None]
-    sel_y = jnp.where(from_top, sel_y_t, sel_y_l[rows, li])
-    sel_c = jnp.where(from_top, sel_c_t, sel_c_l[rows, li])
+    sel_y = jnp.where(from_top, sel_y_t, _sel_cols(sel_y_l, li, 4))
+    sel_c = jnp.where(from_top, sel_c_t, _sel_cols(sel_c_l, li, 4))
 
     # 4-point min/max network (exact spec comparison/swap order)
     mn0 = jnp.zeros(B, jnp.int32)
     mn1 = jnp.full(B, 2, jnp.int32)
     mx0 = jnp.ones(B, jnp.int32)
     mx1 = jnp.full(B, 3, jnp.int32)
-    r = jnp.arange(B)
 
     def g(idx):
-        return sel_y[r, idx]
+        return _sel_cols(sel_y, idx[:, None], 4)[:, 0]
 
     sw = g(mn0) > g(mn1)
     mn0, mn1 = jnp.where(sw, mn1, mn0), jnp.where(sw, mn0, mn1)
@@ -282,10 +330,13 @@ def predict_cclm_impl(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
     sw = g(mn1) > g(mx0)
     mn1, mx0 = jnp.where(sw, mx0, mn1), jnp.where(sw, mn1, mx0)
 
+    def gc(idx):
+        return _sel_cols(sel_c, idx[:, None], 4)[:, 0]
+
     max_y = (g(mx0) + g(mx1) + 1) >> 1
-    max_c = (sel_c[r, mx0] + sel_c[r, mx1] + 1) >> 1
+    max_c = (gc(mx0) + gc(mx1) + 1) >> 1
     min_y = (g(mn0) + g(mn1) + 1) >> 1
-    min_c = (sel_c[r, mn0] + sel_c[r, mn1] + 1) >> 1
+    min_c = (gc(mn0) + gc(mn1) + 1) >> 1
 
     diff = max_y - min_y
     diff_c = max_c - min_c
@@ -294,7 +345,11 @@ def predict_cclm_impl(mode, luma, chroma, xs, ys, cs, masks, ctu_size=32,
     x_ = x_ + (norm != 0)
     y_ = jnp.where(jnp.abs(diff_c) > 0, _ilog2_u8(jnp.abs(diff_c)) + 1, 0)
     y_s = jnp.maximum(y_, 1)
-    tbl = jnp.asarray(tables.CCLM_DIV_SIG_TABLE)[norm] | 8
+    # 16-entry reciprocal LUT as a one-hot select (per-element gathers over
+    # a minor axis lower to scalar loops on TPU)
+    sig = jnp.asarray(np.asarray(tables.CCLM_DIV_SIG_TABLE, np.int32))
+    tbl = jnp.sum(jnp.where(norm[:, None] == jnp.arange(16)[None, :],
+                            sig[None, :], 0), axis=-1) | 8
     a0 = jnp.where(diff_c == 0, 0,
                    (diff_c * tbl + (1 << jnp.maximum(y_ - 1, 0))) >> y_s)
     low_k = (3 + x_ - y_) < 1

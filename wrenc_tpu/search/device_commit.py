@@ -346,15 +346,31 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
             off += n
         return out
 
+    cellsC = _cell_table(W, H, 8, log2_ctu) if any(
+        k[0] == 'C' for k in classes) else None
+
     def run_impl(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T,
                  cclm_mb, ncc, mats):
+        # planes arrive uint8 (the axon tunnel moves ~15 MB/s — every
+        # transferred byte counts); all arithmetic stays int32 on device
+        oy = oy.astype(jnp.int32)
+        ocb = ocb.astype(jnp.int32)
+        ocr = ocr.astype(jnp.int32)
         planes0 = (jnp.zeros((F, HW + 1), jnp.int32),
                    jnp.zeros((F, hw + 1), jnp.int32),
                    jnp.zeros((F, hw + 1), jnp.int32))
+        # dense per-frame decision outputs, scattered in place by the scan
+        # steps: winner coefficient planes + chroma-mode map. Fetching
+        # these (int16/int8) replaces the per-rank padded (R, cap, s, s)
+        # stacked outputs whose transfer dominated round 3 (bottleneck 3).
+        coeff0 = (jnp.zeros((F, HW + 1), jnp.int32),
+                  jnp.zeros((F, hw + 1), jnp.int32),
+                  jnp.zeros((F, hw + 1), jnp.int32))
         mm0 = jnp.zeros((F, n4 + 1), jnp.int32)
+        cmm0 = jnp.zeros((F, n4 + 1), jnp.int32)
 
         def step(carry, xt):
-            ry, rcb, rcr, mm = carry
+            ry, rcb, rcr, mm, cmm, cy, ccb_p, ccr_p = carry
             # ---- wave A: every class' luma + derived-chroma predictions
             # against the CARRY reconstruction (same-rank CUs are never
             # neighbours, so this step's scatters cannot affect them),
@@ -373,12 +389,13 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                 s = 1 << log2
                 cs = (s >> 1) if tree == 'S' else 4
                 lgc = cs.bit_length() - 1
-                bf, bi = x['bf'], x['bi']
+                bf = x['bf'].astype(jnp.int32)
+                bi = x['bi']
                 ls_c, bd_c = ls_tab[1, lgc - 2], bd_tab[1, lgc - 2]
                 d = {'cs': cs}
                 if tree != 'C':
                     g = geo[(tree, log2, 0)]
-                    cl = jnp.clip(x['cands'], 0, 66)
+                    cl = jnp.clip(x['cands'].astype(jnp.int32), 0, 66)
                     v = build_v(ry, bf, bi, g)
                     pall = intra_pred.predict_all_modes_m(
                         v, mats[('y', s)], s)
@@ -417,8 +434,12 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                                        o6cr.reshape(-1, cs * cs), ls_c,
                                        bd_c)
                     else:
-                        # SCIPU chroma: derived from the centre child
-                        derived = mm[bf, jnp.clip(x['ci'], 0)]
+                        # SCIPU chroma: derived from the centre child (cell
+                        # index computed on device from the block index)
+                        bx8 = (bi % (W // 8)) * 8
+                        by8 = (bi // (W // 8)) * 8
+                        ci = ((by8 + 4) >> 2) * (W >> 2) + ((bx8 + 4) >> 2)
+                        derived = mm[bf, ci]
                         pcb = intra_pred.predict_modes_m(vcb, derived,
                                                          mats[('c', 4)])
                         pcr = intra_pred.predict_modes_m(vcr, derived,
@@ -442,7 +463,8 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                 cap = capd[ck]
                 x = xt[ck]
                 d = pre[ck]
-                valid, bf, bi = x['valid'], x['bf'], x['bi']
+                valid, bi = x['valid'], x['bi']
+                bf = x['bf'].astype(jnp.int32)
                 s = 1 << log2
                 cs = d['cs']
                 o = {}
@@ -450,10 +472,17 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     g = geo[(tree, log2, 0)]
                     scat, cells = g[5], g[10]
                     qy, recy, ssd, level = got(resA, d['luma'])
-                    l = jnp.where(x['li'] < 0, 0,
-                                  mm[bf, jnp.clip(x['li'], 0)])
-                    a = jnp.where(x['ai'] < 0, 0,
-                                  mm[bf, jnp.clip(x['ai'], 0)])
+                    # MPM neighbour cells derived on device from the block
+                    # index (li/ai no longer uploaded with the schedule)
+                    n4w = W >> 2
+                    nbw = W // s
+                    bx = (bi % nbw) * s
+                    by = (bi // nbw) * s
+                    li = ((by + s - 1) >> 2) * n4w + ((bx - 1) >> 2)
+                    ai = ((by - 1) >> 2) * n4w + ((bx + s - 1) >> 2)
+                    l = jnp.where(bx > 0, mm[bf, jnp.clip(li, 0)], 0)
+                    a = jnp.where((by & ((1 << log2_ctu) - 1)) != 0,
+                                  mm[bf, jnp.clip(ai, 0)], 0)
                     mb = T[l[:, None], a[:, None], d['cl']]   # (cap, K)
                     cost_y_mat = _cost16384(ssd.reshape(cap, n_cand),
                                             level.reshape(cap, n_cand),
@@ -470,17 +499,17 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     win = jnp.argmin(cost, axis=1)            # (cap,)
                     ar = jnp.arange(cap)
                     m_win = d['cl'][ar, win]
-                    qy_w = qy.reshape(cap, n_cand, s, s)[ar, win]
+                    qy_w = qy.reshape(cap, n_cand, -1)[ar, win]
                     recy_w = recy.reshape(cap, n_cand, -1)[ar, win]
                     rows = jnp.where(valid[:, None],
                                      jnp.asarray(scat)[bi], HW)
                     ry = ry.at[bf[:, None], rows].set(recy_w)
+                    cy = cy.at[bf[:, None], rows].set(
+                        qy_w.reshape(cap, -1).astype(jnp.int32))
                     crow = jnp.where(valid[:, None],
                                      jnp.asarray(cells)[bi], n4)
                     mm = mm.at[bf[:, None], crow].set(
                         jnp.broadcast_to(m_win[:, None], crow.shape))
-                    o['mode'] = m_win
-                    o['qy'] = qy_w
                     if tree == 'L':
                         o['cost'] = cost_y_mat[ar, win]
                     if tree == 'S':
@@ -509,11 +538,9 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
             # merged trellis chain per chroma size (RdCommitter tail)
             Bj = {}
             if cclm_enabled:
-                luma3 = ry[:, :-1].reshape(F, H, W)
-                cbcr = jnp.stack(
-                    [rcb[:, :-1].reshape(F, H // 2, W // 2),
-                     rcr[:, :-1].reshape(F, H // 2, W // 2)],
-                    axis=1).reshape(2 * F, H // 2, W // 2)
+                lflat = ry[:, :-1]
+                cbcr = jnp.stack([rcb[:, :-1], rcr[:, :-1]],
+                                 axis=1).reshape(2 * F, hw)
                 for ck in classes:
                     tree, log2 = ck
                     if tree == 'L':
@@ -529,13 +556,25 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     gy = jnp.asarray(gc[9])[x['bi']]
                     modes6 = jnp.repeat(jnp.arange(81, 84, dtype=jnp.int32),
                                         2 * cap)
-                    comp6 = jnp.tile(jnp.repeat(
-                        jnp.arange(2, dtype=jnp.int32), cap), 3)
-                    bf6 = jnp.tile(x['bf'], 6)
-                    p6 = intra_pred.predict_cclm_impl(
-                        modes6, luma3, cbcr, jnp.tile(gx, 6),
-                        jnp.tile(gy, 6), cs, jnp.tile(mk, (6, 1)),
-                        1 << log2_ctu, bf6 * 2 + comp6, bf_luma=bf6)
+                    # one luma patch per block and one chroma patch per
+                    # (component, block), shared by all three CCLM modes —
+                    # the per-sample plane gathers this replaces were the
+                    # round-3 scalar-gather bottleneck (gl())
+                    bf = x['bf'].astype(jnp.int32)
+                    LP = intra_pred.cclm_luma_patch(
+                        lflat, 2 * gx, 2 * gy, cs, H, W, bf)
+                    CP2 = jnp.concatenate([
+                        intra_pred.cclm_chroma_patch(
+                            cbcr, gx, gy, cs, H // 2, W // 2, 2 * bf),
+                        intra_pred.cclm_chroma_patch(
+                            cbcr, gx, gy, cs, H // 2, W // 2, 2 * bf + 1)])
+                    LP6 = jnp.broadcast_to(LP[None], (6,) + LP.shape) \
+                        .reshape((6 * cap,) + LP.shape[1:])
+                    CP6 = jnp.broadcast_to(CP2[None], (3,) + CP2.shape) \
+                        .reshape((6 * cap,) + CP2.shape[1:])
+                    p6 = intra_pred.cclm_from_patches(
+                        modes6, LP6, CP6, jnp.tile(mk, (6, 1)),
+                        jnp.tile(2 * gy, 6), cs, 1 << log2_ctu)
                     p6 = p6.reshape(3, 2, cap, cs * cs)
                     pcb3, pcr3 = p6[:, 0], p6[:, 1]           # (3, cap, P)
                     sad = (jnp.abs(pcb3 - d['ocb'][None]).sum(2)
@@ -561,7 +600,8 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                 cap = capd[ck]
                 x = xt[ck]
                 d = pre[ck]
-                valid, bf, bi = x['valid'], x['bf'], x['bi']
+                valid, bi = x['valid'], x['bi']
+                bf = x['bf'].astype(jnp.int32)
                 gc = geo[(tree, log2, 1)]
                 o = out[ck]
                 derived = d['derived']
@@ -590,19 +630,37 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                                   jnp.asarray(gc[5])[bi], hw)
                 rcb = rcb.at[bf[:, None], crows].set(rcb_w)
                 rcr = rcr.at[bf[:, None], crows].set(rcr_w)
-                o['cmode'] = cmode
-                o['qcb'] = qcb_w
-                o['qcr'] = qcr_w
+                ccb_p = ccb_p.at[bf[:, None], crows].set(
+                    qcb_w.reshape(cap, -1).astype(jnp.int32))
+                ccr_p = ccr_p.at[bf[:, None], crows].set(
+                    qcr_w.reshape(cap, -1).astype(jnp.int32))
+                cells_c = (geo[(tree, log2, 0)][10] if tree == 'S'
+                           else cellsC)
+                ccell = jnp.where(valid[:, None],
+                                  jnp.asarray(cells_c)[bi], n4)
+                cmm = cmm.at[bf[:, None], ccell].set(
+                    jnp.broadcast_to(cmode[:, None], ccell.shape))
                 # per-CU RD cost (ssd + lam*(level + mb*16384)/16384 over
                 # active components, no header constant) — the refine
                 # comparison reads these (RdCommitter::commit_cu return)
                 o['cost'] = (d['cost_y_w'] + cost_ch if tree == 'S'
                              else cost_ch)
-            return (ry, rcb, rcr, mm), out
+            return (ry, rcb, rcr, mm, cmm, cy, ccb_p, ccr_p), out
 
-        carry, ys = jax.lax.scan(step, (planes0[0], planes0[1], planes0[2],
-                                        mm0), xs)
-        return carry[:3], ys
+        carry, ys = jax.lax.scan(
+            step, (planes0[0], planes0[1], planes0[2], mm0, cmm0,
+                   coeff0[0], coeff0[1], coeff0[2]), xs)
+        ry, rcb, rcr, mm, cmm, cy, ccb_p, ccr_p = carry
+        # fetch-side dtypes: recon uint8, maps int8, coefficients int16 —
+        # the tunnel is the bottleneck, not the device-side casts
+        return ((ry[:, :-1].astype(jnp.uint8),
+                 rcb[:, :-1].astype(jnp.uint8),
+                 rcr[:, :-1].astype(jnp.uint8),
+                 mm[:, :-1].astype(jnp.int8),
+                 cmm[:, :-1].astype(jnp.int8),
+                 cy[:, :-1].astype(jnp.int16),
+                 ccb_p[:, :-1].astype(jnp.int16),
+                 ccr_p[:, :-1].astype(jnp.int16)), ys)
 
     return jax.jit(run_impl)
 
@@ -723,20 +781,19 @@ def _build_schedule(cfg, all_trees, floors=None):
             caps[ck] = max(caps.get(ck, 0), cap)
     caps = tuple(sorted(caps.items()))
 
+    # slim upload dtypes (the tunnel moves ~15 MB/s): frame index int8,
+    # candidate modes int8; neighbour/derived cell indices are computed on
+    # device from the block index instead of being uploaded
     xs = {}
     entries = {}
     for ck, cap in caps:
         tree, log2 = ck
         s = 1 << log2
         x = {'valid': np.zeros((R, cap), bool),
-             'bf': np.zeros((R, cap), np.int32),
+             'bf': np.zeros((R, cap), np.int8),
              'bi': np.zeros((R, cap), np.int32)}
         if tree != 'C':
-            x['cands'] = np.full((R, cap, n_cand), -1, np.int32)
-            x['li'] = np.full((R, cap), -1, np.int32)
-            x['ai'] = np.full((R, cap), -1, np.int32)
-        else:
-            x['ci'] = np.zeros((R, cap), np.int32)
+            x['cands'] = np.full((R, cap, n_cand), -1, np.int8)
         ent = []
         fill = np.zeros(R, np.int32)
         nbw = W // s if tree != 'C' else W // 8
@@ -751,16 +808,8 @@ def _build_schedule(cfg, all_trees, floors=None):
             x['bi'][r, k] = (cu.y // s) * nbw + cu.x // s if tree != 'C' \
                 else (cu.y // 8) * nbw + cu.x // 8
             if tree != 'C':
-                cl = np.asarray(cu.cands, np.int32)
+                cl = np.asarray(cu.cands, np.int8)
                 x['cands'][r, k, :len(cl)] = cl
-                if cu.x > 0:
-                    x['li'][r, k] = ((cu.y + s - 1) >> 2) * n4w \
-                        + ((cu.x - 1) >> 2)
-                if cu.y > 0 and (cu.y & (ctu - 1)) != 0:
-                    x['ai'][r, k] = ((cu.y - 1) >> 2) * n4w \
-                        + ((cu.x + s - 1) >> 2)
-            else:
-                x['ci'][r, k] = ((cu.y + 4) >> 2) * n4w + ((cu.x + 4) >> 2)
             ent.append((r, k, cu, ph))
         xs[ck] = x
         entries[ck] = ent
@@ -807,7 +856,7 @@ def _resolve_refines(cfg, all_trees, cost_map):
     return any_leaf
 
 
-def commit_frames_device_rd(cfg, origs, all_trees):
+def commit_frames_device_rd(cfg, origs, all_trees, dev_planes=None):
     """Re-decision commit of every frame's tree on device, one fused scan.
 
     Equivalent decision discipline to the native RdCommitter at the
@@ -827,7 +876,8 @@ def commit_frames_device_rd(cfg, origs, all_trees):
     returns per-frame (ry, rcb, rcr) like commit_frames_tree_native.
     """
     xs, entries, R, caps, n_cand = _build_schedule(cfg, all_trees)
-    recons, cost_map = _run_pass(cfg, origs, xs, entries, R, caps, n_cand)
+    recons, cost_map = _run_pass(cfg, origs, xs, entries, R, caps, n_cand,
+                                 dev_planes)
     has_refine = any(ph for ent in entries.values() for _, _, _, ph in ent)
     if not has_refine:
         return recons
@@ -835,11 +885,12 @@ def commit_frames_device_rd(cfg, origs, all_trees):
         return recons
     xs2, entries2, R2, caps2, _ = _build_schedule(
         cfg, all_trees, floors=(R, caps))
-    recons2, _ = _run_pass(cfg, origs, xs2, entries2, R2, caps2, n_cand)
+    recons2, _ = _run_pass(cfg, origs, xs2, entries2, R2, caps2, n_cand,
+                           dev_planes)
     return recons2
 
 
-def _run_pass(cfg, origs, xs, entries, R, caps, n_cand):
+def _run_pass(cfg, origs, xs, entries, R, caps, n_cand, dev_planes=None):
     """Run one scan pass over a built schedule: launch the jitted rank
     wavefront, write winner modes/coeffs into the (non-phantom) CU objects
     and return ([(ry, rcb, rcr)] recon planes, {id(cu): cost})."""
@@ -895,13 +946,28 @@ def _run_pass(cfg, origs, xs, entries, R, caps, n_cand):
             jnp.asarray(kq.lv_table_device(rm, dep, True)))
     lam, cclm_mb, ncc, lam_dq, lv = _CONST_DEV[ck2]
 
-    oy = np.stack([np.asarray(o[0], np.int32).reshape(-1) for o in origs])
-    ocb = np.stack([np.asarray(o[1], np.int32).reshape(-1) for o in origs])
-    ocr = np.stack([np.asarray(o[2], np.int32).reshape(-1) for o in origs])
-    if Fp > F:
-        oy = np.concatenate([oy, np.repeat(oy[-1:], Fp - F, 0)])
-        ocb = np.concatenate([ocb, np.repeat(ocb[-1:], Fp - F, 0)])
-        ocr = np.concatenate([ocr, np.repeat(ocr[-1:], Fp - F, 0)])
+    if dev_planes is not None:
+        # device-resident uint8 planes shared with stage A (uploaded once
+        # per chunk at dispatch time)
+        def fitF(a):
+            if a.shape[0] > Fp:
+                return a[:Fp]
+            if a.shape[0] < Fp:
+                return jnp.concatenate(
+                    [a] + [a[-1:]] * (Fp - a.shape[0]))
+            return a
+        oy, ocb, ocr = (fitF(p) for p in dev_planes)
+    else:
+        oy = np.stack([np.asarray(o[0]).reshape(-1).astype(np.uint8)
+                       for o in origs])
+        ocb = np.stack([np.asarray(o[1]).reshape(-1).astype(np.uint8)
+                        for o in origs])
+        ocr = np.stack([np.asarray(o[2]).reshape(-1).astype(np.uint8)
+                        for o in origs])
+        if Fp > F:
+            oy = np.concatenate([oy, np.repeat(oy[-1:], Fp - F, 0)])
+            ocb = np.concatenate([ocb, np.repeat(ocb[-1:], Fp - F, 0)])
+            ocr = np.concatenate([ocr, np.repeat(ocr[-1:], Fp - F, 0)])
 
     # mode matrices as device-resident ARGUMENTS (one transfer per
     # process) rather than jit constants: keeps the scan program small
@@ -923,25 +989,55 @@ def _run_pass(cfg, origs, xs, entries, R, caps, n_cand):
               f"K={n_cand}", file=_sys.stderr, flush=True)
     run = _rd_commit_builder(W, H, cfg.log2_ctu_size, Fp, R, caps, n_cand,
                              bool(cfg.cclm_enabled))
-    (ry, rcb, rcr), ys = run(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv,
-                             lam, T, cclm_mb, ncc, mats)
+    (ry, rcb, rcr, mm, cmm, cyp, ccbp, ccrp), ys = run(
+        oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T, cclm_mb,
+        ncc, mats)
     ys = jax.tree_util.tree_map(np.asarray, ys)
-    ry = np.asarray(ry[:F, :-1]).reshape(F, H, W)
-    rcb = np.asarray(rcb[:F, :-1]).reshape(F, H // 2, W // 2)
-    rcr = np.asarray(rcr[:F, :-1]).reshape(F, H // 2, W // 2)
+    ry = np.asarray(ry[:F]).astype(np.int32).reshape(F, H, W)
+    rcb = np.asarray(rcb[:F]).astype(np.int32).reshape(F, H // 2, W // 2)
+    rcr = np.asarray(rcr[:F]).astype(np.int32).reshape(F, H // 2, W // 2)
+    mm = np.asarray(mm[:F])
+    cmm = np.asarray(cmm[:F])
+    cyp = np.asarray(cyp[:F])
+    ccbp = np.asarray(ccbp[:F])
+    ccrp = np.asarray(ccrp[:F])
 
+    # vectorized per-class extraction of winner modes/coefficients from
+    # the dense maps (one fancy gather per class, then cheap assignments)
     cost_map = {}
     for ck, ent in entries.items():
+        tree, log2 = ck
+        s = 1 << log2
         o = ys[ck]
+        x = xs[ck]
         for r, k, cu, ph in ent:
             cost_map[id(cu)] = float(o['cost'][r, k])
-            if ph:
-                continue
-            if ck[0] != 'C':
-                cu.luma_mode = int(o['mode'][r, k])
-                cu.coeffs[0] = o['qy'][r, k].copy()
-            if ck[0] != 'L':
-                cu.chroma_mode = int(o['cmode'][r, k])
-                cu.coeffs[1] = o['qcb'][r, k].copy()
-                cu.coeffs[2] = o['qcr'][r, k].copy()
+        live = [(r, k, cu) for r, k, cu, ph in ent if not ph]
+        if not live:
+            continue
+        rr = np.array([e[0] for e in live])
+        kk = np.array([e[1] for e in live])
+        bfv = x['bf'][rr, kk].astype(np.int64)
+        biv = x['bi'][rr, kk]
+        if tree != 'C':
+            gy_ = _geometry(W, H, s, 0, cfg.log2_ctu_size)
+            cells = _cell_table(W, H, s, cfg.log2_ctu_size)
+            modes = mm[bfv, cells[biv, 0]]
+            qy = cyp[bfv[:, None], gy_[5][biv]]
+            for i, (r, k, cu) in enumerate(live):
+                cu.luma_mode = int(modes[i])
+                cu.coeffs[0] = qy[i].reshape(s, s)
+        if tree != 'L':
+            cs = (s >> 1) if tree == 'S' else 4
+            gc_ = _geometry(W, H, cs, 1, cfg.log2_ctu_size)
+            cellsc = (_cell_table(W, H, s, cfg.log2_ctu_size)
+                      if tree == 'S'
+                      else _cell_table(W, H, 8, cfg.log2_ctu_size))
+            cmodes = cmm[bfv, cellsc[biv, 0]].astype(np.int32)
+            qcb = ccbp[bfv[:, None], gc_[5][biv]]
+            qcr = ccrp[bfv[:, None], gc_[5][biv]]
+            for i, (r, k, cu) in enumerate(live):
+                cu.chroma_mode = int(cmodes[i])
+                cu.coeffs[1] = qcb[i].reshape(cs, cs)
+                cu.coeffs[2] = qcr[i].reshape(cs, cs)
     return [(ry[f], rcb[f], rcr[f]) for f in range(F)], cost_map

@@ -164,20 +164,21 @@ class WavefrontSearch:
             for k, chunk in enumerate(chunks):
                 nxt = (self._dispatch_stage_a(chunks[k + 1])
                        if k + 1 < len(chunks) else None)
-                batch, trees = self._decide_chunk(chunk, pending)
+                batch, trees, devp = self._decide_chunk(chunk, pending)
                 if prev is not None:
                     out.extend(self._join_commit(prev))
                 timing = {}
-                fut = pool.submit(self._commit_timed, batch, trees, timing)
+                fut = pool.submit(self._commit_timed, batch, trees, timing,
+                                  devp)
                 prev = (fut, trees, timing)
                 pending = nxt
             out.extend(self._join_commit(prev))
         return out
 
-    def _commit_timed(self, batch, all_trees, timing):
+    def _commit_timed(self, batch, all_trees, timing, dev_planes=None):
         import time as _time
         t0 = _time.perf_counter()
-        recons = self._commit_all(all_trees, batch)
+        recons = self._commit_all(all_trees, batch, dev_planes)
         timing['work'] = _time.perf_counter() - t0
         return recons
 
@@ -217,7 +218,9 @@ class WavefrontSearch:
         padded = batch + [batch[-1]] * (Fpad - F) if Fpad > F else batch
         sizes = [1 << (cfg.log2_ctu_size - d)
                  for d in range(cfg.max_split_depth, -1, -1)]
-        planes_y = np.stack([b[0] for b in padded])
+        # pixels cross the host<->device link as uint8 (the axon tunnel
+        # moves ~15 MB/s; uploads were a quarter of stage-A wall at 1080p)
+        planes_y = np.stack([b[0] for b in padded]).astype(np.uint8)
         if self.mesh is not None:
             nf = self.mesh.shape.get('frame', 1)
             pad = (-len(planes_y)) % nf
@@ -226,6 +229,7 @@ class WavefrontSearch:
                     [planes_y, np.repeat(planes_y[-1:], pad, axis=0)])
         t0 = _time.perf_counter()
         fused = self._fused_luma(len(planes_y), tuple(sizes))
+        dev_planes = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             row = 'row' if self.mesh.shape.get('row', 1) > 1 else None
@@ -233,17 +237,28 @@ class WavefrontSearch:
                 planes_y, NamedSharding(self.mesh, P('frame', row, None)))
         else:
             dev = jnp.asarray(planes_y)
+            if self._device_commit:
+                # device-resident planes shared with the commit scan: one
+                # upload per chunk serves both stage A and the commit
+                cfg = self.cfg
+                cb = np.stack([b[1] for b in padded]).astype(np.uint8)
+                cr = np.stack([b[2] for b in padded]).astype(np.uint8)
+                F_ = len(padded)
+                dev_planes = (
+                    dev.reshape(F_, cfg.height * cfg.width),
+                    jnp.asarray(cb.reshape(F_, -1)),
+                    jnp.asarray(cr.reshape(F_, -1)))
         res = fused(dev)
         self._phase('device_dispatch', _time.perf_counter() - t0)
-        return batch, sizes, res
+        return batch, sizes, res, dev_planes
 
     def _finish_chunk(self, frames, dispatched):
         """Block on a dispatched stage A, then run the host passes
         sequentially (the non-overlapped path)."""
         import time as _time
-        batch, all_trees = self._decide_chunk(frames, dispatched)
+        batch, all_trees, devp = self._decide_chunk(frames, dispatched)
         t0 = _time.perf_counter()
-        recons = self._commit_all(all_trees, batch)
+        recons = self._commit_all(all_trees, batch, devp)
         self._phase('host_commit', _time.perf_counter() - t0)
         return list(zip(all_trees, recons))
 
@@ -252,7 +267,7 @@ class WavefrontSearch:
         returns (batch, all_trees) ready for _commit_all."""
         import time as _time
         cfg = self.cfg
-        self.batch, sizes, res = dispatched
+        self.batch, sizes, res, dev_planes = dispatched
         F = len(self.batch)
         luma_mode_b = {}
         luma_cost_b = {}
@@ -285,9 +300,9 @@ class WavefrontSearch:
                 sizes, fi, luma_mode_b, chroma_cache)
             all_trees.append(trees)
         self._phase('host_decide', _time.perf_counter() - t0)
-        return self.batch, all_trees
+        return self.batch, all_trees, dev_planes
 
-    def _commit_all(self, all_trees, batch):
+    def _commit_all(self, all_trees, batch, dev_planes=None):
         """Commit every frame's decisions against true reconstruction.
 
         Uses the native C++ commit engine (coding-order walk, threaded
@@ -315,7 +330,8 @@ class WavefrontSearch:
             return recons
         if self._device_commit:
             from .device_commit import commit_frames_device_rd
-            return commit_frames_device_rd(self.cfg, batch, all_trees)
+            return commit_frames_device_rd(self.cfg, batch, all_trees,
+                                           dev_planes)
         from ..entropy import native
         if native.commit_supported():
             ls_tab = np.zeros((2, 4), dtype=np.int32)
@@ -924,6 +940,7 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
 
     @jax.jit
     def run(planes, ls, bd, lam_dq, lv, lam, mats):
+        planes = planes.astype(jnp.int32)      # uint8 on the wire
         flat = planes.reshape(F, H * W)
         out = {}
         for s in sizes:
@@ -993,7 +1010,9 @@ def _fused_luma_sharded_builder(W, H, log2_ctu, sizes, F, K, mesh):
     F_loc = F // nf
 
     def band_fn(planes, ls_a, bd_a, lam_dq, lv, lam, mats):
-        # planes: (F_loc, band_h, W); halo row from the band above
+        # planes: (F_loc, band_h, W) uint8 on the wire; halo row from the
+        # band above
+        planes = planes.astype(jnp.int32)
         last = planes[:, -1, :]
         halo = jax.lax.ppermute(last, "row",
                                 [(i, i + 1) for i in range(nr - 1)])
@@ -1064,7 +1083,7 @@ def _stage_a_select(pred, orig, num_cands, ls, bd_shift, lam_dq, lv,
     o = jnp.repeat(orig[:, None, :], K, axis=1).reshape(-1, s, s)
     ssd, rate = _rd_eval_inner(p, o, ls, bd_shift, lam_dq, lv, log2)
     cost = ssd.reshape(-1, K) + lam * (rate.reshape(-1, K) / 16384.0)
-    return cands, cost
+    return cands.astype(jnp.int8), cost                # int8 on the wire
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
