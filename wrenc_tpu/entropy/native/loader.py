@@ -649,15 +649,18 @@ def decode_slice_native(p, payload, entry_lens=None):
 
 
 def cu_ranks_native(cu_meta, W, H):
-    """Commit-schedule dependency ranks (wrenc_cu_ranks).
+    """Commit-schedule dependency ranks (wrenc_cu_ranks2).
 
-    cu_meta: (N, 4) int32 [x, y, log2, is_phantom] in coding order.
-    Returns (N,) int32 ranks (1-based). None when the library is missing."""
+    cu_meta: (N, 6) int32 [x, y, log2, is_phantom, ext_l, ext_t] in
+    coding order — ext flags mark AVAILABLE below-left / above-right
+    reference extensions (unavailable ones are never read, so they do
+    not constrain the schedule). Returns (N,) int32 ranks (1-based).
+    None when the library is missing."""
     lib = _get()
-    if lib is None or not hasattr(lib, 'wrenc_cu_ranks'):
+    if lib is None or not hasattr(lib, 'wrenc_cu_ranks2'):
         return None
     m = np.ascontiguousarray(cu_meta, dtype=np.int32)
     out = np.zeros(len(m), dtype=np.int32)
-    lib.wrenc_cu_ranks(_i32p(m), ctypes.c_int64(len(m)),
-                       ctypes.c_int(W), ctypes.c_int(H), _i32p(out))
+    lib.wrenc_cu_ranks2(_i32p(m), ctypes.c_int64(len(m)),
+                        ctypes.c_int(W), ctypes.c_int(H), _i32p(out))
     return out

@@ -3146,20 +3146,27 @@ extern "C" int wrenc_decode_slice(
 // ---------------------------------------------------------------------------
 // Commit-schedule dependency ranks over 4x4 cells — the C twin of
 // search/device_commit._cu_ranks (WavefrontSearch._commit discipline).
-// cu_meta: (N, 4) int32 rows [x, y, log2, is_phantom]; phantoms rank after
-// their own region but leave the grid untouched. ranks_out: (N,) int32.
-extern "C" void wrenc_cu_ranks(const int32_t* cu_meta, int64_t n_cu, int W,
-                               int H, int32_t* ranks_out) {
+// cu_meta: (N, 6) int32 rows [x, y, log2, is_phantom, ext_l, ext_t];
+// ext_l/ext_t say whether the below-left / above-right reference samples
+// are AVAILABLE (spec 6.4.4) — unavailable extensions are never read
+// (substitution masks them), so the dependency window is the block
+// height/width alone there, which shortens the critical rank chains.
+// Phantoms rank after their own region but leave the grid untouched.
+// ranks_out: (N,) int32.
+extern "C" void wrenc_cu_ranks2(const int32_t* cu_meta, int64_t n_cu, int W,
+                                int H, int32_t* ranks_out) {
   const int gw = W >> 2, gh = H >> 2;
   std::vector<int32_t> grid((size_t)gw * gh, 0);
   for (int64_t i = 0; i < n_cu; ++i) {
-    const int32_t* m = cu_meta + i * 4;
+    const int32_t* m = cu_meta + i * 6;
     int x = m[0], y = m[1], s = 1 << m[2], phantom = m[3];
+    int ext_l = m[4], ext_t = m[5];
     int x4 = x >> 2, y4 = y >> 2, n4 = s >> 2 ? s >> 2 : 1;
     int r = 0;
     if (x > 0) {
       int y0 = y4 - 1 < 0 ? 0 : y4 - 1;
-      int y1 = y4 + 2 * n4 < gh ? y4 + 2 * n4 : gh;
+      int yext = y4 + (ext_l ? 2 * n4 : n4);
+      int y1 = yext < gh ? yext : gh;
       for (int yy = y0; yy < y1; ++yy) {
         int v = grid[(size_t)yy * gw + x4 - 1];
         if (v > r) r = v;
@@ -3167,7 +3174,8 @@ extern "C" void wrenc_cu_ranks(const int32_t* cu_meta, int64_t n_cu, int W,
     }
     if (y > 0) {
       int x0 = x4 - 1 < 0 ? 0 : x4 - 1;
-      int x1 = x4 + 2 * n4 < gw ? x4 + 2 * n4 : gw;
+      int xext = x4 + (ext_t ? 2 * n4 : n4);
+      int x1 = xext < gw ? xext : gw;
       const int32_t* row = &grid[(size_t)(y4 - 1) * gw];
       for (int xx = x0; xx < x1; ++xx)
         if (row[xx] > r) r = row[xx];
@@ -3185,4 +3193,16 @@ extern "C" void wrenc_cu_ranks(const int32_t* cu_meta, int64_t n_cu, int W,
         if (r + 1 > *c) *c = r + 1;
       }
   }
+}
+
+// Legacy 4-column entry point (conservative full windows).
+extern "C" void wrenc_cu_ranks(const int32_t* cu_meta, int64_t n_cu, int W,
+                               int H, int32_t* ranks_out) {
+  std::vector<int32_t> m6((size_t)n_cu * 6);
+  for (int64_t i = 0; i < n_cu; ++i) {
+    for (int j = 0; j < 4; ++j) m6[i * 6 + j] = cu_meta[i * 4 + j];
+    m6[i * 6 + 4] = 1;
+    m6[i * 6 + 5] = 1;
+  }
+  wrenc_cu_ranks2(m6.data(), n_cu, W, H, ranks_out);
 }

@@ -277,33 +277,40 @@ def cclm_from_patches(m, LP, CP, masks, ly, cs, ctu_size):
     xr_sum = cols(r0, 4) + cols(r1, 4)
     p_ds = (xm_sum + 2 * xc_sum + xr_sum + 4) >> 3
 
-    # ---- above boundary samples (patch rows 0/1 = plane rows ly-2/ly-1)
+    # ---- boundary samples via ONE one-hot select over a concatenated
+    # strip per plane (six separate row/column selects fused into one
+    # keeps the rank-scan's per-step kernel count down):
+    #   luma strip  = [row ly-1 | row ly-2 | col lx-3 | col lx-2 | col lx-1]
+    #   chroma strip = [row ys-1 | col xs-1]
     p = pick_t
     px_c = 3 + 2 * p
     px_m = jnp.where((p > 0) | avail_l[:, None], px_c - 1, 3)
     px_r = px_c + 1
-    ra = LP[:, 1, :]
-    rb = LP[:, 0, :]
+    q = pick_l
+    py0 = 2 + 2 * q
     ctu_b = ((ly & (ctu_size - 1)) == 0)[:, None]
-    sm_a, sm_b = _sel_cols(ra, px_m, PW), _sel_cols(rb, px_m, PW)
-    sc_a, sc_b = _sel_cols(ra, px_c, PW), _sel_cols(rb, px_c, PW)
-    sr_a, sr_b = _sel_cols(ra, px_r, PW), _sel_cols(rb, px_r, PW)
+    ystrip = jnp.concatenate(
+        [LP[:, 1, :], LP[:, 0, :], LP[:, :, 0], LP[:, :, 1], LP[:, :, 2]],
+        axis=1)
+    o_rb, o_c3, o_c2, o_c1 = PW, 2 * PW, 2 * PW + PH, 2 * PW + 2 * PH
+    yidx = jnp.concatenate(
+        [px_m, px_c, px_r,                                  # ra (ly-1)
+         px_m + o_rb, px_c + o_rb, px_r + o_rb,             # rb (ly-2)
+         py0 + o_c3, py0 + 1 + o_c3,
+         py0 + o_c2, py0 + 1 + o_c2,
+         py0 + o_c1, py0 + 1 + o_c1], axis=1)               # (B, 48)
+    ysel = _sel_cols(ystrip, yidx, 2 * PW + 3 * PH).reshape(B, 12, 4)
+    sm_a, sc_a, sr_a, sm_b, sc_b, sr_b = (ysel[:, i] for i in range(6))
     sel_norm = (sm_a + sm_b + 2 * sc_a + 2 * sc_b + sr_a + sr_b + 4) >> 3
     sel_bdry = (sm_a + 2 * sc_a + sr_a + 2) >> 2
     sel_y_t = jnp.where(ctu_b, sel_bdry, sel_norm)
-    sel_c_t = _sel_cols(CP[:, 0, :], 1 + p, 2 * cs + 1)
-
-    # ---- left boundary samples (patch cols 0/1/2 = plane cols lx-3..lx-1)
-    q = pick_l
-    py0 = 2 + 2 * q
-    c3r = LP[:, :, 0]
-    c2r = LP[:, :, 1]
-    c1r = LP[:, :, 2]
-    sel_y_l = (_sel_cols(c3r, py0, PH) + _sel_cols(c3r, py0 + 1, PH)
-               + 2 * _sel_cols(c2r, py0, PH) + 2 * _sel_cols(c2r, py0 + 1, PH)
-               + _sel_cols(c1r, py0, PH) + _sel_cols(c1r, py0 + 1, PH)
-               + 4) >> 3
-    sel_c_l = _sel_cols(CP[:, :, 0], 1 + q, 2 * cs + 1)
+    sel_y_l = (ysel[:, 6] + ysel[:, 7] + 2 * ysel[:, 8] + 2 * ysel[:, 9]
+               + ysel[:, 10] + ysel[:, 11] + 4) >> 3
+    CW_ = 2 * cs + 1
+    cstrip = jnp.concatenate([CP[:, 0, :], CP[:, :, 0]], axis=1)
+    cidx = jnp.concatenate([1 + p, 1 + q + CW_], axis=1)    # (B, 8)
+    csel = _sel_cols(cstrip, cidx, 2 * CW_).reshape(B, 2, 4)
+    sel_c_t, sel_c_l = csel[:, 0], csel[:, 1]
 
     j = jnp.arange(4)[None, :]
     from_top = j < cnt_t[:, None]
@@ -311,32 +318,33 @@ def cclm_from_patches(m, LP, CP, masks, ly, cs, ctu_size):
     sel_y = jnp.where(from_top, sel_y_t, _sel_cols(sel_y_l, li, 4))
     sel_c = jnp.where(from_top, sel_c_t, _sel_cols(sel_c_l, li, 4))
 
-    # 4-point min/max network (exact spec comparison/swap order)
-    mn0 = jnp.zeros(B, jnp.int32)
-    mn1 = jnp.full(B, 2, jnp.int32)
-    mx0 = jnp.ones(B, jnp.int32)
-    mx1 = jnp.full(B, 3, jnp.int32)
+    # 4-point min/max network (exact spec comparison/swap order),
+    # value-tracked: (y, c) pairs swap together, no index indirection
+    ymn0, ymx0, ymn1, ymx1 = (sel_y[:, i] for i in range(4))
+    cmn0, cmx0, cmn1, cmx1 = (sel_c[:, i] for i in range(4))
 
-    def g(idx):
-        return _sel_cols(sel_y, idx[:, None], 4)[:, 0]
+    def swp(sw, a, b):
+        return jnp.where(sw, b, a), jnp.where(sw, a, b)
 
-    sw = g(mn0) > g(mn1)
-    mn0, mn1 = jnp.where(sw, mn1, mn0), jnp.where(sw, mn0, mn1)
-    sw = g(mx0) > g(mx1)
-    mx0, mx1 = jnp.where(sw, mx1, mx0), jnp.where(sw, mx0, mx1)
-    sw = g(mn0) > g(mx1)
-    mn0, mx0 = jnp.where(sw, mx0, mn0), jnp.where(sw, mn0, mx0)
-    mn1, mx1 = jnp.where(sw, mx1, mn1), jnp.where(sw, mn1, mx1)
-    sw = g(mn1) > g(mx0)
-    mn1, mx0 = jnp.where(sw, mx0, mn1), jnp.where(sw, mn1, mx0)
+    sw = ymn0 > ymn1
+    ymn0, ymn1 = swp(sw, ymn0, ymn1)
+    cmn0, cmn1 = swp(sw, cmn0, cmn1)
+    sw = ymx0 > ymx1
+    ymx0, ymx1 = swp(sw, ymx0, ymx1)
+    cmx0, cmx1 = swp(sw, cmx0, cmx1)
+    sw = ymn0 > ymx1
+    ymn0, ymx0 = swp(sw, ymn0, ymx0)
+    cmn0, cmx0 = swp(sw, cmn0, cmx0)
+    ymn1, ymx1 = swp(sw, ymn1, ymx1)
+    cmn1, cmx1 = swp(sw, cmn1, cmx1)
+    sw = ymn1 > ymx0
+    ymn1, ymx0 = swp(sw, ymn1, ymx0)
+    cmn1, cmx0 = swp(sw, cmn1, cmx0)
 
-    def gc(idx):
-        return _sel_cols(sel_c, idx[:, None], 4)[:, 0]
-
-    max_y = (g(mx0) + g(mx1) + 1) >> 1
-    max_c = (gc(mx0) + gc(mx1) + 1) >> 1
-    min_y = (g(mn0) + g(mn1) + 1) >> 1
-    min_c = (gc(mn0) + gc(mn1) + 1) >> 1
+    max_y = (ymx0 + ymx1 + 1) >> 1
+    max_c = (cmx0 + cmx1 + 1) >> 1
+    min_y = (ymn0 + ymn1 + 1) >> 1
+    min_c = (cmn0 + cmn1 + 1) >> 1
 
     diff = max_y - min_y
     diff_c = max_c - min_c

@@ -59,23 +59,56 @@ def _sel_map(h, g):
 def _lut1024_i32(table, idx):
     """Exact lookup from a (1024,) nonnegative int32 table (may be a
     traced argument — QP tables stay runtime values) via 32x32 one-hot
-    MXU contractions over 12-bit pieces. idx int32 in [0, 1023] (caller
-    clips). Returns idx.shape int32."""
+    MXU contractions over 8-bit pieces. idx int32 in [0, 1023] (caller
+    clips). Returns idx.shape int32.
+
+    Exactness without the 6-pass HIGHEST tax: one-hot rows select a
+    single element per output, the 8-bit pieces (< 256) and the 0/1
+    one-hot weights are both exactly representable in bf16, and the f32
+    accumulation sums one nonzero term — so a single-pass bf16 matmul is
+    bit-exact here and ~6x cheaper than the former 12-bit/HIGHEST split."""
     t = jnp.asarray(table, jnp.int32)
     sh = idx.shape
     i = idx.reshape(-1)
     oh_hi = (jnp.arange(32, dtype=jnp.int32)
-             == (i[:, None] >> 5)).astype(jnp.float32)         # (N, 32)
+             == (i[:, None] >> 5)).astype(jnp.bfloat16)        # (N, 32)
     oh_lo = jnp.arange(32, dtype=jnp.int32) == (i[:, None] & 31)
     out = jnp.zeros(i.shape, jnp.int32)
-    for s in (0, 12, 24):
-        p = ((t >> s) & 0xFFF).astype(jnp.float32).reshape(32, 32)
+    for s in (0, 8, 16, 24):
+        p = ((t >> s) & 0xFF).astype(jnp.bfloat16).reshape(32, 32)
         rows = jnp.einsum('nh,hl->nl', oh_hi, p,
-                          preferred_element_type=jnp.float32,
-                          precision=EXACT)                     # (N, 32)
+                          preferred_element_type=jnp.float32)  # (N, 32)
         v = jnp.sum(jnp.where(oh_lo, rows, 0), axis=-1).astype(jnp.int32)
         out = out + (v << s)
     return out.reshape(sh)
+
+
+def _lut1024_i32_multi(tables, idx):
+    """Exact lookups of SEVERAL (1024,) int32 tables at the same indices
+    with ONE one-hot MXU contraction (see _lut1024_i32 for the exactness
+    argument). tables: sequence of (1024,) int32; idx int32 in [0, 1023].
+    Returns a list of idx.shape int32 arrays, one per table."""
+    sh = idx.shape
+    i = idx.reshape(-1)
+    T = len(tables)
+    oh_hi = (jnp.arange(32, dtype=jnp.int32)
+             == (i[:, None] >> 5)).astype(jnp.bfloat16)        # (N, 32)
+    oh_lo = jnp.arange(32, dtype=jnp.int32) == (i[:, None] & 31)
+    pieces = []
+    for t in tables:
+        t32 = jnp.asarray(t, jnp.int32).reshape(32, 32)
+        pieces.append(jnp.stack(
+            [((t32 >> s) & 0xFF).astype(jnp.bfloat16)
+             for s in (0, 8, 16, 24)], axis=-1))               # (32,32,4)
+    P = jnp.stack(pieces, axis=2).reshape(32, 32 * T * 4)      # (32,32,T,4)
+    rows = jnp.einsum('nh,hm->nm', oh_hi, P,
+                      preferred_element_type=jnp.float32)      # (N, 32*T*4)
+    rows = rows.reshape(-1, 32, T, 4)
+    sel = jnp.sum(jnp.where(oh_lo[:, :, None, None], rows, 0),
+                  axis=1).astype(jnp.int32)                    # (N, T, 4)
+    shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)
+    out = jnp.sum(sel << shifts[None, None, :], axis=-1)       # (N, T)
+    return [out[:, t].reshape(sh) for t in range(T)]
 
 
 @functools.lru_cache(maxsize=None)

@@ -53,6 +53,9 @@ def _interpret():
 
 
 def _kernel(P):
+    # NOTE: every vector intermediate is kept rank-2 ((1, Bt) rows /
+    # (8, Bt) tiles) — Mosaic's vector-layout inference aborts on rank-1
+    # elementwise ops (VectorLayout::join check failure).
     def kernel(c4_ref, sa4_ref, lv4_ref, scal_ref, q_ref, rate_ref,
                cost_ref, bp_ref, rbuf_ref):
         Bt = LANES
@@ -63,9 +66,9 @@ def _kernel(P):
 
         def fwd(p, _):
             cost = cost_ref[:, :]
-            is_dc = p == P - 1
-            rows_c = [c4_ref[j, p, :] for j in range(4)]
-            rows_sa = [sa4_ref[j, p, :] for j in range(4)]
+            is_dc = (p == P - 1).astype(jnp.int32)
+            rows_c = [c4_ref[j, pl.ds(p, 1), :] for j in range(4)]
+            rows_sa = [sa4_ref[j, pl.ds(p, 1), :] for j in range(4)]
             new_cost = jnp.full((8, Bt), BIG, jnp.int32)
             bp = jnp.zeros((8, Bt), jnp.int32)
             # relax order: source state OUTER, k INNER, strict < — the
@@ -77,7 +80,7 @@ def _kernel(P):
                 for k in range(2):
                     slot = 2 * src + k
                     j = delta * 2 + k
-                    sa = rows_sa[j]
+                    sa = rows_sa[j]                       # (1, Bt)
                     az = (sa == 0)
                     par = sa & 1
                     c = rows_c[j]
@@ -86,42 +89,42 @@ def _kernel(P):
                         # baked into c4); the DC position refunds lam_dq[1]
                         # once more (all-zero-block correction)
                         azi = az.astype(jnp.int32)
-                        c = c - azi * lam1 \
-                            - jnp.where(is_dc, azi * lam1, 0)
+                        c = c - azi * lam1 - azi * lam1 * is_dc
                         dst = (((qs ^ par) & 1) * 2 + (qs >> 1)) * 2 + azi
                     else:
                         dst = (((qs ^ par) & 1) * 2 + (qs >> 1)) * 2
-                    tot = cost[src, :] + c
-                    hit = (dst[None, :] == iota8) & (tot[None, :] < new_cost)
-                    new_cost = jnp.where(hit, tot[None, :], new_cost)
+                    tot = cost_ref[pl.ds(src, 1), :] + c  # (1, Bt)
+                    hit = (dst == iota8) & (tot < new_cost)
+                    new_cost = jnp.where(hit, tot, new_cost)
                     bp = jnp.where(hit, slot, bp)
             new_cost = new_cost - jnp.min(new_cost, axis=0, keepdims=True)
             cost_ref[:, :] = new_cost
             # pack 8 nibbles (slot per dst state) into one int32 per lane
-            bp_ref[p, :] = jnp.sum(bp << (4 * iota8), axis=0)
+            bp_ref[pl.ds(p, 1), :] = jnp.sum(bp << (4 * iota8), axis=0,
+                                             keepdims=True)
             return 0
 
         jax.lax.fori_loop(0, P, fwd, 0, unroll=False)
 
         # first-index argmin over the 8 final states (matches jnp.argmin)
-        fc = cost_ref[:, :]
-        best = fc[0, :]
-        state = jnp.zeros((Bt,), jnp.int32)
+        best = cost_ref[0:1, :]
+        state = jnp.zeros((1, Bt), jnp.int32)
         for s in range(1, 8):
-            better = fc[s, :] < best
-            best = jnp.where(better, fc[s, :], best)
+            row = cost_ref[s:s + 1, :]
+            better = row < best
+            best = jnp.where(better, row, best)
             state = jnp.where(better, s, state)
 
         def bwd(i, state):
             p = P - 1 - i
-            packed = bp_ref[p, :]
+            packed = bp_ref[pl.ds(p, 1), :]               # (1, Bt)
             slot = (packed >> (4 * state)) & 0xF
             src = slot >> 1
             k = slot & 1
             delta = (src >= 4).astype(jnp.int32)
             j = delta * 2 + k
-            sa_rows = [sa4_ref[jj, p, :] for jj in range(4)]
-            lv_rows = [lv4_ref[jj, p, :] for jj in range(4)]
+            sa_rows = [sa4_ref[jj, pl.ds(p, 1), :] for jj in range(4)]
+            lv_rows = [lv4_ref[jj, pl.ds(p, 1), :] for jj in range(4)]
 
             def sel4(rows):
                 r = jnp.where(j == 0, rows[0], rows[1])
@@ -136,8 +139,8 @@ def _kernel(P):
             tr = src & 1
             r = jnp.where(az, jnp.where(tr == 1, jnp.float32(0), lv0f),
                           lvj.astype(jnp.float32))
-            q_ref[p, :] = qv
-            rbuf_ref[p, :] = r
+            q_ref[pl.ds(p, 1), :] = qv
+            rbuf_ref[pl.ds(p, 1), :] = r
             return src
 
         jax.lax.fori_loop(0, P, bwd, state, unroll=False)
@@ -145,10 +148,10 @@ def _kernel(P):
         # committed-level rate in ASCENDING coding order (dq_rate_scan's
         # exact f32 accumulation order, which the native committer shares)
         def acc(p, rate):
-            return rate + rbuf_ref[p, :]
+            return rate + rbuf_ref[pl.ds(p, 1), :]
 
-        rate_ref[0, :] = jax.lax.fori_loop(
-            0, P, acc, jnp.zeros((Bt,), jnp.float32), unroll=False)
+        rate_ref[0:1, :] = jax.lax.fori_loop(
+            0, P, acc, jnp.zeros((1, Bt), jnp.float32), unroll=False)
 
     return kernel
 
@@ -221,9 +224,13 @@ def trellis_rate_impl(t, ls, bd_shift, lam_dq, lv_table, log2_n):
     mag4 = jnp.where(a4 == 0, 0, 2 * a4 - dlt)
     dq4 = (mag4 * lsr + bdo) >> bdr
     dist4 = jnp.abs(atc - dq4)
-    rate4 = kq._lut1024_i32(lam_dq, jnp.clip(a4 + 1, 0, 1023))
-    lv4 = kq._lut1024_i32(jnp.asarray(lv_table).astype(jnp.int32),
-                          jnp.clip(a4, 0, 1023))
+    # both rate tables in ONE MXU LUT pass: lam_dq is consumed at a+1, so
+    # shift it by one slot (clip at 1023 preserved by repeating the top)
+    ldq = jnp.asarray(lam_dq)
+    ldq1 = jnp.concatenate([ldq[1:], ldq[-1:]])
+    rate4, lv4 = kq._lut1024_i32_multi(
+        (ldq1, jnp.asarray(lv_table).astype(jnp.int32)),
+        jnp.clip(a4, 0, 1023))
     c4 = jnp.minimum(128 * dist4 + rate4, BIG)
     c4 = jnp.where(zero & (kk == 1), BIG, c4)             # zeros: one option
     sa4 = jnp.where(tc < 0, -a4, a4)
@@ -250,6 +257,84 @@ def trellis_rate_impl(t, ls, bd_shift, lam_dq, lv_table, log2_n):
 @functools.partial(jax.jit, static_argnums=(5,))
 def trellis_rate(t, ls, bd_shift, lam_dq, lv_table, log2_n):
     return trellis_rate_impl(t, ls, bd_shift, lam_dq, lv_table, log2_n)
+
+
+def trellis_rate_batch(jobs, lam_dq, lv_table):
+    """Batched variant for several block sizes at once: jobs is a list of
+    (t (B, n, n) int32, ls, bd_shift, log2_n). The per-position edge
+    ingredients are elementwise over flattened (position, block) pairs,
+    so ONE shared precompute pass (divisions, the one-hot MXU rate LUT)
+    serves every size; only the in-VMEM Viterbi runs per distinct P.
+    Returns [(q (B, n, n) int16, rate (B,) f32)] in job order — values
+    identical to per-job trellis_rate_auto."""
+    if _interpret():
+        return [trellis_rate_auto(t, ls, bd_shift, lam_dq, lv_table, lg)
+                for t, ls, bd_shift, lg in jobs]
+    metas = []
+    tf_parts = []
+    ls_parts = []
+    bd_parts = []
+    for t, ls, bd_shift, log2_n in jobs:
+        B = t.shape[0]
+        order = kq.coding_order(log2_n)
+        P = order.shape[0]
+        tf = t.reshape(B, -1)[:, order].T                 # (P, B)
+        lsb = jnp.broadcast_to(jnp.asarray(ls, jnp.int32), (B,))
+        bdb = jnp.broadcast_to(jnp.asarray(bd_shift, jnp.int32), (B,))
+        metas.append((B, P, log2_n, order))
+        tf_parts.append(tf.reshape(-1))
+        ls_parts.append(jnp.broadcast_to(lsb[None, :], (P, B)).reshape(-1))
+        bd_parts.append(jnp.broadcast_to(bdb[None, :], (P, B)).reshape(-1))
+    tc = jnp.concatenate(tf_parts)[None, None, :]         # (1, 1, N)
+    lsr = jnp.concatenate(ls_parts)[None, None, :]
+    bdr = jnp.concatenate(bd_parts)[None, None, :]
+    bdo = (1 << bdr) >> 1
+    atc = jnp.abs(tc)
+    s_ = (atc << bdr) + jnp.where(tc < 0, bdo, -bdo)
+    base = s_ // lsr
+    zero = tc == 0
+    dlt = jnp.arange(2, dtype=jnp.int32).reshape(2, 1, 1)
+    kk = jnp.arange(2, dtype=jnp.int32).reshape(1, 2, 1)
+    a4 = jnp.where(zero, 0, (base + dlt) // 2 + kk)       # (2, 2, N)
+    mag4 = jnp.where(a4 == 0, 0, 2 * a4 - dlt)
+    dq4 = (mag4 * lsr + bdo) >> bdr
+    dist4 = jnp.abs(atc - dq4)
+    ldq = jnp.asarray(lam_dq)
+    ldq1 = jnp.concatenate([ldq[1:], ldq[-1:]])
+    rate4, lv4 = kq._lut1024_i32_multi(
+        (ldq1, jnp.asarray(lv_table).astype(jnp.int32)),
+        jnp.clip(a4, 0, 1023))
+    c4 = jnp.minimum(128 * dist4 + rate4, BIG)
+    c4 = jnp.where(zero & (kk == 1), BIG, c4)
+    sa4 = jnp.where(tc < 0, -a4, a4)
+    scal = jnp.stack([ldq[1],
+                      jnp.asarray(lv_table).astype(jnp.int32)[0]])
+
+    c4f = c4.reshape(4, -1)
+    sa4f = sa4.reshape(4, -1)
+    lv4f = lv4.reshape(4, -1)
+    out = []
+    off = 0
+    for B, P, log2_n, order in metas:
+        n_el = P * B
+        Bp = -(-B // LANES) * LANES
+        pad = Bp - B
+
+        def padb(x):
+            x = x[:, off:off + n_el].reshape(4, P, B)
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+            return x
+
+        qpb, rate = _call(P, Bp // LANES, False)(
+            padb(c4f), padb(sa4f), padb(lv4f), scal)
+        qf = qpb[:, :B].T                                 # (B, P)
+        q = jnp.zeros((B, (1 << log2_n) ** 2), jnp.int32)
+        q = q.at[:, order].set(qf)
+        out.append((q.reshape(B, 1 << log2_n, 1 << log2_n
+                              ).astype(jnp.int16), rate[0, :B]))
+        off += n_el
+    return out
 
 
 def trellis_rate_auto(t, ls, bd_shift, lam_dq, lv_table, log2_n):

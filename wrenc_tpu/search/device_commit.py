@@ -234,6 +234,28 @@ def _cost16384(ssd, level, mb16384, lam):
     return ssd.astype(jnp.float32) + lam * ((level + mb16384) / 16384.0)
 
 
+def _sel_modes(pall, cl):
+    """Select per-candidate predictions from the 67-mode sweep:
+    pall (N, 67, P), cl (N, K) -> (N, K, P). One-hot MXU contraction —
+    take_along_axis over the middle axis lowers to a scalar-bound gather
+    on TPU. Exact: predictions are < 256 (bf16-representable) and each
+    output row sums exactly one nonzero term."""
+    hot = (cl[:, :, None] == jnp.arange(67, dtype=jnp.int32)
+           ).astype(jnp.bfloat16)
+    return jnp.einsum('nkm,nmp->nkp', hot, pall.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _sel_win(arr, win):
+    """arr (N, K, ...), win (N,) -> (N, ...): per-row winner pick as a
+    one-hot multiply-sum on the VPU (a middle-axis take_along_axis is a
+    scalar-bound gather on TPU)."""
+    K = arr.shape[1]
+    hot = win[:, None] == jnp.arange(K, dtype=jnp.int32)
+    hot = hot.reshape(hot.shape + (1,) * (arr.ndim - 2))
+    return jnp.sum(jnp.where(hot, arr, 0), axis=1, dtype=arr.dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def _cell_table(W, H, s, log2_ctu):
     """(N, (s/4)^2) flat 4x4-cell indices of each aligned luma block — the
@@ -278,11 +300,21 @@ def _pow2(n, lo=8):
 
 
 @functools.lru_cache(maxsize=None)
-def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
+def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled,
+                       apply=False):
     """Jitted rank-wavefront RD commit. caps: tuple of ((tree, log2), cap)
     with tree in 'S' (single: luma+chroma), 'L' (dual luma), 'C' (SCIPU
     chroma). Geometry (gather/scatter/cell/mask tables) is baked in;
-    QP/rate-model values are traced arguments."""
+    QP/rate-model values are traced arguments.
+
+    apply=True builds the cheap APPLY variant used for the post-refine
+    second pass: every CU's luma/chroma mode is already decided (n_cand
+    is 1 and the schedule carries the chosen chroma mode), so the step
+    skips candidate ranking and the 3-mode CCLM probe — it predicts the
+    chosen modes against the evolving reconstruction, runs one trellis
+    per component and scatters. Any schedule is a legal commit (the
+    stream just has to be self-consistent); re-DECIDING after a refine
+    flip is an RD nicety the full pass already paid for once."""
     HW, hw = H * W, (H // 2) * (W // 2)
     n4 = (W >> 2) * (H >> 2)
     classes = [k for k, cap in caps if cap > 0]
@@ -308,46 +340,47 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                         + u[:, jnp.asarray(ni)] + 2) >> 2)
         return jnp.concatenate([u, uf], axis=1)
 
-    def tq_merged(jobs, log2, lam_dq, lv):
-        """ONE trellis+rate+dequant+inverse chain for every job at one
-        block size. jobs: [(pred (N_i, P), orig (N_i, P), ls_i, bd_i)]
-        with per-job (possibly different) quant params carried as per-row
-        vectors. Returns [(q (N_i,s,s) i16, rec, ssd, level)] per job.
-        Non-jitted kernel impls so XLA fuses across the call boundaries
-        (nested jits compiled as closed_calls measurably serialize the
-        scan body)."""
-        s = 1 << log2
-        pred = jnp.concatenate([j[0] for j in jobs], 0)
-        orig = jnp.concatenate([j[1] for j in jobs], 0)
-        ls_r = jnp.concatenate(
-            [jnp.broadcast_to(jnp.asarray(j[2], jnp.int32),
-                              (j[0].shape[0],)) for j in jobs])
-        bd_r = jnp.concatenate(
-            [jnp.broadcast_to(jnp.asarray(j[3], jnp.int32),
-                              (j[0].shape[0],)) for j in jobs])
-        res = (orig - pred).reshape(-1, s, s)
-        t = transforms.forward_impl(res)
-        # in-VMEM sequential Viterbi + committed-level rate in ONE Pallas
-        # kernel — replaces the padded min-plus associative scan
-        # (trellis_pscan_impl) and the (B, P, 8) rate composition
-        # (dq_rate_impl) that dominated the round-3 commit profile
-        q, level = trellis_pallas.trellis_rate_auto(t, ls_r, bd_r, lam_dq,
-                                                    lv, log2)
-        d = kq.dequantize_impl(q, ls_r, bd_r)
-        r = transforms.inverse_impl(d)
-        rec = jnp.clip(pred.reshape(-1, s, s) + r, 0, 255).reshape(
-            pred.shape[0], -1)
-        ssd = ((rec - orig) ** 2).sum(1)
-        out, off = [], 0
-        for j in jobs:
-            n = j[0].shape[0]
-            out.append((q[off:off + n], rec[off:off + n],
-                        ssd[off:off + n], level[off:off + n]))
-            off += n
-        return out
-
-    cellsC = _cell_table(W, H, 8, log2_ctu) if any(
-        k[0] == 'C' for k in classes) else None
+    def tq_all(A, lam_dq, lv):
+        """tq_merged across ALL block sizes of one wave with a single
+        shared trellis edge-precompute pass (trellis_rate_batch): the
+        per-position tables are elementwise over flattened positions, so
+        the divisions and the MXU rate LUT run once per wave instead of
+        once per size — a direct per-step kernel-count cut."""
+        staged = []
+        tr_jobs = []
+        for lg in sorted(A):
+            jobs = A[lg]
+            s = 1 << lg
+            pred = jnp.concatenate([j[0] for j in jobs], 0)
+            orig = jnp.concatenate([j[1] for j in jobs], 0)
+            ls_r = jnp.concatenate(
+                [jnp.broadcast_to(jnp.asarray(j[2], jnp.int32),
+                                  (j[0].shape[0],)) for j in jobs])
+            bd_r = jnp.concatenate(
+                [jnp.broadcast_to(jnp.asarray(j[3], jnp.int32),
+                                  (j[0].shape[0],)) for j in jobs])
+            res = (orig - pred).reshape(-1, s, s)
+            t = transforms.forward_impl(res)
+            staged.append((lg, pred, orig, ls_r, bd_r, jobs))
+            tr_jobs.append((t, ls_r, bd_r, lg))
+        tr_out = trellis_pallas.trellis_rate_batch(tr_jobs, lam_dq, lv)
+        res_map = {}
+        for (lg, pred, orig, ls_r, bd_r, jobs), (q, level) in zip(
+                staged, tr_out):
+            s = 1 << lg
+            d = kq.dequantize_impl(q, ls_r, bd_r)
+            r = transforms.inverse_impl(d)
+            rec = jnp.clip(pred.reshape(-1, s, s) + r, 0, 255).reshape(
+                pred.shape[0], -1)
+            ssd = ((rec - orig) ** 2).sum(1)
+            out, off = [], 0
+            for j in jobs:
+                n = j[0].shape[0]
+                out.append((q[off:off + n], rec[off:off + n],
+                            ssd[off:off + n], level[off:off + n]))
+                off += n
+            res_map[lg] = out
+        return res_map
 
     def run_impl(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T,
                  cclm_mb, ncc, mats):
@@ -359,18 +392,17 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
         planes0 = (jnp.zeros((F, HW + 1), jnp.int32),
                    jnp.zeros((F, hw + 1), jnp.int32),
                    jnp.zeros((F, hw + 1), jnp.int32))
-        # dense per-frame decision outputs, scattered in place by the scan
-        # steps: winner coefficient planes + chroma-mode map. Fetching
-        # these (int16/int8) replaces the per-rank padded (R, cap, s, s)
-        # stacked outputs whose transfer dominated round 3 (bottleneck 3).
-        coeff0 = (jnp.zeros((F, HW + 1), jnp.int32),
-                  jnp.zeros((F, hw + 1), jnp.int32),
-                  jnp.zeros((F, hw + 1), jnp.int32))
+        # dense per-frame winner-coefficient planes, written by ONE
+        # batched scatter per class after the scan. Fetching these
+        # (int16) replaces the per-rank padded (R, cap, s, s) stacked
+        # outputs whose transfer dominated round 3 (bottleneck 3).
+        coeff0 = (jnp.zeros((F, HW + 1), jnp.int16),
+                  jnp.zeros((F, hw + 1), jnp.int16),
+                  jnp.zeros((F, hw + 1), jnp.int16))
         mm0 = jnp.zeros((F, n4 + 1), jnp.int32)
-        cmm0 = jnp.zeros((F, n4 + 1), jnp.int32)
 
         def step(carry, xt):
-            ry, rcb, rcr, mm, cmm, cy, ccb_p, ccr_p = carry
+            ry, rcb, rcr, mm = carry
             # ---- wave A: every class' luma + derived-chroma predictions
             # against the CARRY reconstruction (same-rank CUs are never
             # neighbours, so this step's scatters cannot affect them),
@@ -399,7 +431,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     v = build_v(ry, bf, bi, g)
                     pall = intra_pred.predict_all_modes_m(
                         v, mats[('y', s)], s)
-                    p6 = jnp.take_along_axis(pall, cl[:, :, None], 1)
+                    p6 = _sel_modes(pall, cl)
                     orig = oy[bf[:, None], jnp.asarray(g[5])[bi]]
                     o6 = jnp.broadcast_to(orig[:, None, :],
                                           (cap, n_cand, s * s))
@@ -415,24 +447,30 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     d['ocb'] = ocb[bf[:, None], jnp.asarray(gc[5])[bi]]
                     d['ocr'] = ocr[bf[:, None], jnp.asarray(gc[5])[bi]]
                     if tree == 'S':
-                        pcb6 = jnp.take_along_axis(
-                            intra_pred.predict_all_modes_m(
-                                vcb, mats[('c', cs)], cs),
-                            d['cl'][:, :, None], 1)
-                        pcr6 = jnp.take_along_axis(
-                            intra_pred.predict_all_modes_m(
-                                vcr, mats[('c', cs)], cs),
-                            d['cl'][:, :, None], 1)
-                        o6cb = jnp.broadcast_to(d['ocb'][:, None, :],
-                                                (cap, n_cand, cs * cs))
-                        o6cr = jnp.broadcast_to(d['ocr'][:, None, :],
-                                                (cap, n_cand, cs * cs))
-                        d['cb'] = push(A, lgc, pcb6.reshape(-1, cs * cs),
-                                       o6cb.reshape(-1, cs * cs), ls_c,
-                                       bd_c)
-                        d['cr'] = push(A, lgc, pcr6.reshape(-1, cs * cs),
-                                       o6cr.reshape(-1, cs * cs), ls_c,
-                                       bd_c)
+                        pcb6 = _sel_modes(intra_pred.predict_all_modes_m(
+                            vcb, mats[('c', cs)], cs), d['cl'])
+                        pcr6 = _sel_modes(intra_pred.predict_all_modes_m(
+                            vcr, mats[('c', cs)], cs), d['cl'])
+                        if apply:
+                            # chosen-mode chroma pred only; quantized in
+                            # wave B after the derived-vs-CCLM select
+                            d['pcb1'] = pcb6.reshape(cap, cs * cs)
+                            d['pcr1'] = pcr6.reshape(cap, cs * cs)
+                        else:
+                            o6cb = jnp.broadcast_to(
+                                d['ocb'][:, None, :],
+                                (cap, n_cand, cs * cs))
+                            o6cr = jnp.broadcast_to(
+                                d['ocr'][:, None, :],
+                                (cap, n_cand, cs * cs))
+                            d['cb'] = push(A, lgc,
+                                           pcb6.reshape(-1, cs * cs),
+                                           o6cb.reshape(-1, cs * cs),
+                                           ls_c, bd_c)
+                            d['cr'] = push(A, lgc,
+                                           pcr6.reshape(-1, cs * cs),
+                                           o6cr.reshape(-1, cs * cs),
+                                           ls_c, bd_c)
                     else:
                         # SCIPU chroma: derived from the centre child (cell
                         # index computed on device from the block index)
@@ -445,11 +483,14 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                         pcr = intra_pred.predict_modes_m(vcr, derived,
                                                          mats[('c', 4)])
                         d['derived'] = derived
-                        d['cb'] = push(A, 2, pcb, d['ocb'], ls_c, bd_c)
-                        d['cr'] = push(A, 2, pcr, d['ocr'], ls_c, bd_c)
+                        if apply:
+                            d['pcb1'] = pcb
+                            d['pcr1'] = pcr
+                        else:
+                            d['cb'] = push(A, 2, pcb, d['ocb'], ls_c, bd_c)
+                            d['cr'] = push(A, 2, pcr, d['ocr'], ls_c, bd_c)
                 pre[ck] = d
-            resA = {lg: tq_merged(jobs, lg, lam_dq, lv)
-                    for lg, jobs in A.items()}
+            resA = tq_all(A, lam_dq, lv)
 
             def got(res, tag):
                 lg, i = tag
@@ -472,6 +513,23 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     g = geo[(tree, log2, 0)]
                     scat, cells = g[5], g[10]
                     qy, recy, ssd, level = got(resA, d['luma'])
+                    if apply:
+                        m_win = d['cl'][:, 0]
+                        qy_w = qy.reshape(cap, -1)
+                        recy_w = recy.reshape(cap, -1)
+                        rows = jnp.where(valid[:, None],
+                                         jnp.asarray(scat)[bi], HW)
+                        ry = ry.at[bf[:, None], rows].set(recy_w)
+                        crow = jnp.where(valid[:, None],
+                                         jnp.asarray(cells)[bi], n4)
+                        mm = mm.at[bf[:, None], crow].set(
+                            jnp.broadcast_to(m_win[:, None], crow.shape))
+                        o['mode'] = m_win.astype(jnp.int8)
+                        o['qy'] = qy_w
+                        o['cost'] = jnp.zeros((cap,), jnp.float32)
+                        d['derived'] = m_win
+                        out[ck] = o
+                        continue
                     # MPM neighbour cells derived on device from the block
                     # index (li/ai no longer uploaded with the schedule)
                     n4w = W >> 2
@@ -497,33 +555,38 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                                                  jnp.float32(0.0), lam)
                     cost = jnp.where(x['cands'] < 0, BIG_COST, cost)
                     win = jnp.argmin(cost, axis=1)            # (cap,)
-                    ar = jnp.arange(cap)
-                    m_win = d['cl'][ar, win]
-                    qy_w = qy.reshape(cap, n_cand, -1)[ar, win]
-                    recy_w = recy.reshape(cap, n_cand, -1)[ar, win]
+                    m_win = _sel_win(d['cl'], win)
+                    qy_w = _sel_win(qy.reshape(cap, n_cand, -1), win)
+                    recy_w = _sel_win(recy.reshape(cap, n_cand, -1), win)
                     rows = jnp.where(valid[:, None],
                                      jnp.asarray(scat)[bi], HW)
                     ry = ry.at[bf[:, None], rows].set(recy_w)
-                    cy = cy.at[bf[:, None], rows].set(
-                        qy_w.reshape(cap, -1).astype(jnp.int32))
                     crow = jnp.where(valid[:, None],
                                      jnp.asarray(cells)[bi], n4)
                     mm = mm.at[bf[:, None], crow].set(
                         jnp.broadcast_to(m_win[:, None], crow.shape))
+                    o['mode'] = m_win.astype(jnp.int8)
+                    o['qy'] = qy_w                            # int16, device
+                    cost_w = _sel_win(cost_y_mat, win)
                     if tree == 'L':
-                        o['cost'] = cost_y_mat[ar, win]
+                        o['cost'] = cost_w
                     if tree == 'S':
-                        d['cost_y_w'] = cost_y_mat[ar, win]
-                        d['qcb_w'] = qcb.reshape(cap, n_cand,
-                                                 cs, cs)[ar, win]
-                        d['qcr_w'] = qcr.reshape(cap, n_cand,
-                                                 cs, cs)[ar, win]
-                        d['rcb_w'] = reccb.reshape(cap, n_cand, -1)[ar, win]
-                        d['rcr_w'] = reccr.reshape(cap, n_cand, -1)[ar, win]
-                        d['cost_d'] = _cost16384(ssd_c[ar, win],
-                                                 lvl_c[ar, win], ncc, lam)
+                        d['cost_y_w'] = cost_w
+                        d['qcb_w'] = _sel_win(
+                            qcb.reshape(cap, n_cand, -1), win) \
+                            .reshape(cap, cs, cs)
+                        d['qcr_w'] = _sel_win(
+                            qcr.reshape(cap, n_cand, -1), win) \
+                            .reshape(cap, cs, cs)
+                        d['rcb_w'] = _sel_win(
+                            reccb.reshape(cap, n_cand, -1), win)
+                        d['rcr_w'] = _sel_win(
+                            reccr.reshape(cap, n_cand, -1), win)
+                        d['cost_d'] = _cost16384(_sel_win(ssd_c, win),
+                                                 _sel_win(lvl_c, win),
+                                                 ncc, lam)
                         d['derived'] = m_win
-                else:
+                elif not apply:
                     qcb_w, rcb_w, scb, lcb = got(resA, d['cb'])
                     qcr_w, rcr_w, scr, lcr = got(resA, d['cr'])
                     d['qcb_w'], d['rcb_w'] = qcb_w, rcb_w
@@ -537,10 +600,11 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
             # (CCLM reads the CU's own just-committed luma), then one
             # merged trellis chain per chroma size (RdCommitter tail)
             Bj = {}
-            if cclm_enabled:
-                lflat = ry[:, :-1]
-                cbcr = jnp.stack([rcb[:, :-1], rcr[:, :-1]],
-                                 axis=1).reshape(2 * F, hw)
+            if cclm_enabled or apply:
+                # patches read the carry planes DIRECTLY: their indices
+                # are edge-clipped below HW/hw, so the trailing pad slot
+                # is unreachable — slicing it off (or stacking cb/cr)
+                # here materialized full-plane copies every rank step
                 for ck in classes:
                     tree, log2 = ck
                     if tree == 'L':
@@ -551,6 +615,44 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     cs = d['cs']
                     lgc = cs.bit_length() - 1
                     gc = geo[(tree, log2, 1)]
+                    bf = x['bf'].astype(jnp.int32)
+                    if apply:
+                        # chosen chroma mode only: CCLM pred for the rows
+                        # that picked 81..83, the wave-A derived pred for
+                        # the rest, then ONE quantize per component
+                        cmode_in = x['cmode'].astype(jnp.int32)
+                        if cclm_enabled:
+                            mk = jnp.asarray(gc[7])[x['bi']]
+                            gx = jnp.asarray(gc[8])[x['bi']]
+                            gy = jnp.asarray(gc[9])[x['bi']]
+                            LP = intra_pred.cclm_luma_patch(
+                                ry, 2 * gx, 2 * gy, cs, H, W, bf)
+                            CP2 = jnp.concatenate([
+                                intra_pred.cclm_chroma_patch(
+                                    rcb, gx, gy, cs, H // 2, W // 2, bf),
+                                intra_pred.cclm_chroma_patch(
+                                    rcr, gx, gy, cs, H // 2, W // 2, bf)])
+                            is_c = (cmode_in >= 81)[:, None]
+                            m2 = jnp.tile(jnp.clip(cmode_in, 81, 83), 2)
+                            LP2 = jnp.broadcast_to(
+                                LP[None], (2,) + LP.shape).reshape(
+                                    (2 * cap,) + LP.shape[1:])
+                            p2 = intra_pred.cclm_from_patches(
+                                m2, LP2, CP2, jnp.tile(mk, (2, 1)),
+                                jnp.tile(2 * gy, 2), cs, 1 << log2_ctu)
+                            p2 = p2.reshape(2, cap, cs * cs)
+                            pb = jnp.where(is_c, p2[0], d['pcb1'])
+                            pr = jnp.where(is_c, p2[1], d['pcr1'])
+                        else:
+                            pb, pr = d['pcb1'], d['pcr1']
+                        d['cmode_in'] = cmode_in
+                        d['ccb'] = push(Bj, lgc, pb, d['ocb'],
+                                        ls_tab[1, lgc - 2],
+                                        bd_tab[1, lgc - 2])
+                        d['ccr'] = push(Bj, lgc, pr, d['ocr'],
+                                        ls_tab[1, lgc - 2],
+                                        bd_tab[1, lgc - 2])
+                        continue
                     mk = jnp.asarray(gc[7])[x['bi']]
                     gx = jnp.asarray(gc[8])[x['bi']]
                     gy = jnp.asarray(gc[9])[x['bi']]
@@ -560,14 +662,13 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                     # (component, block), shared by all three CCLM modes —
                     # the per-sample plane gathers this replaces were the
                     # round-3 scalar-gather bottleneck (gl())
-                    bf = x['bf'].astype(jnp.int32)
                     LP = intra_pred.cclm_luma_patch(
-                        lflat, 2 * gx, 2 * gy, cs, H, W, bf)
+                        ry, 2 * gx, 2 * gy, cs, H, W, bf)
                     CP2 = jnp.concatenate([
                         intra_pred.cclm_chroma_patch(
-                            cbcr, gx, gy, cs, H // 2, W // 2, 2 * bf),
+                            rcb, gx, gy, cs, H // 2, W // 2, bf),
                         intra_pred.cclm_chroma_patch(
-                            cbcr, gx, gy, cs, H // 2, W // 2, 2 * bf + 1)])
+                            rcr, gx, gy, cs, H // 2, W // 2, bf)])
                     LP6 = jnp.broadcast_to(LP[None], (6,) + LP.shape) \
                         .reshape((6 * cap,) + LP.shape[1:])
                     CP6 = jnp.broadcast_to(CP2[None], (3,) + CP2.shape) \
@@ -589,8 +690,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                                     ls_tab[1, lgc - 2], bd_tab[1, lgc - 2])
                     d['ccr'] = push(Bj, lgc, pr, d['ocr'],
                                     ls_tab[1, lgc - 2], bd_tab[1, lgc - 2])
-            resB = {lg: tq_merged(jobs, lg, lam_dq, lv)
-                    for lg, jobs in Bj.items()}
+            resB = tq_all(Bj, lam_dq, lv)
 
             # ---- phase 4: CCLM-vs-derived decision + chroma scatters
             for ck in classes:
@@ -604,6 +704,19 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                 bf = x['bf'].astype(jnp.int32)
                 gc = geo[(tree, log2, 1)]
                 o = out[ck]
+                if apply:
+                    qcb_w, rcb_w, _, _ = got(resB, d['ccb'])
+                    qcr_w, rcr_w, _, _ = got(resB, d['ccr'])
+                    cs = d['cs']
+                    crows = jnp.where(valid[:, None],
+                                      jnp.asarray(gc[5])[bi], hw)
+                    rcb = rcb.at[bf[:, None], crows].set(rcb_w)
+                    rcr = rcr.at[bf[:, None], crows].set(rcr_w)
+                    o['cmode'] = d['cmode_in'].astype(jnp.int8)
+                    o['qcb'] = qcb_w.reshape(cap, -1)
+                    o['qcr'] = qcr_w.reshape(cap, -1)
+                    o['cost'] = jnp.zeros((cap,), jnp.float32)
+                    continue
                 derived = d['derived']
                 cost_d = d['cost_d']
                 qcb_w, rcb_w = d['qcb_w'], d['rcb_w']
@@ -630,37 +743,57 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled):
                                   jnp.asarray(gc[5])[bi], hw)
                 rcb = rcb.at[bf[:, None], crows].set(rcb_w)
                 rcr = rcr.at[bf[:, None], crows].set(rcr_w)
-                ccb_p = ccb_p.at[bf[:, None], crows].set(
-                    qcb_w.reshape(cap, -1).astype(jnp.int32))
-                ccr_p = ccr_p.at[bf[:, None], crows].set(
-                    qcr_w.reshape(cap, -1).astype(jnp.int32))
-                cells_c = (geo[(tree, log2, 0)][10] if tree == 'S'
-                           else cellsC)
-                ccell = jnp.where(valid[:, None],
-                                  jnp.asarray(cells_c)[bi], n4)
-                cmm = cmm.at[bf[:, None], ccell].set(
-                    jnp.broadcast_to(cmode[:, None], ccell.shape))
+                o['cmode'] = cmode.astype(jnp.int8)
+                o['qcb'] = qcb_w.reshape(cap, -1)             # int16, device
+                o['qcr'] = qcr_w.reshape(cap, -1)
                 # per-CU RD cost (ssd + lam*(level + mb*16384)/16384 over
                 # active components, no header constant) — the refine
                 # comparison reads these (RdCommitter::commit_cu return)
                 o['cost'] = (d['cost_y_w'] + cost_ch if tree == 'S'
                              else cost_ch)
-            return (ry, rcb, rcr, mm, cmm, cy, ccb_p, ccr_p), out
+            return (ry, rcb, rcr, mm), out
 
         carry, ys = jax.lax.scan(
-            step, (planes0[0], planes0[1], planes0[2], mm0, cmm0,
-                   coeff0[0], coeff0[1], coeff0[2]), xs)
-        ry, rcb, rcr, mm, cmm, cy, ccb_p, ccr_p = carry
-        # fetch-side dtypes: recon uint8, maps int8, coefficients int16 —
-        # the tunnel is the bottleneck, not the device-side casts
+            step, (planes0[0], planes0[1], planes0[2], mm0), xs)
+        ry, rcb, rcr, mm = carry
+
+        # ---- post-scan: ONE batched scatter per class writes the winner
+        # coefficients into dense int16 planes (the scan never reads
+        # them, so these scatters need not run inside the steps); the
+        # stacked per-step q arrays stay device-resident and are dropped
+        # from the returned ys
+        cy = coeff0[0]
+        ccb_d = coeff0[1]
+        ccr_d = coeff0[2]
+        for ck in classes:
+            tree, log2 = ck
+            cap = capd[ck]
+            x = xs[ck]
+            o = ys[ck]
+            valid_a = x['valid'].reshape(-1)
+            bf_a = x['bf'].astype(jnp.int32).reshape(-1)
+            bi_a = x['bi'].reshape(-1)
+            if tree != 'C':
+                g = geo[(tree, log2, 0)]
+                rows = jnp.where(valid_a[:, None],
+                                 jnp.asarray(g[5])[bi_a], HW)
+                cy = cy.at[bf_a[:, None], rows].set(
+                    o.pop('qy').reshape(R * cap, -1))
+            if tree != 'L':
+                gc = geo[(tree, log2, 1)]
+                crows = jnp.where(valid_a[:, None],
+                                  jnp.asarray(gc[5])[bi_a], hw)
+                ccb_d = ccb_d.at[bf_a[:, None], crows].set(
+                    o.pop('qcb').reshape(R * cap, -1))
+                ccr_d = ccr_d.at[bf_a[:, None], crows].set(
+                    o.pop('qcr').reshape(R * cap, -1))
+
+        # fetch-side dtypes: recon uint8, modes int8, coefficients int16
+        # — the tunnel is the bottleneck, not the device-side casts
         return ((ry[:, :-1].astype(jnp.uint8),
                  rcb[:, :-1].astype(jnp.uint8),
                  rcr[:, :-1].astype(jnp.uint8),
-                 mm[:, :-1].astype(jnp.int8),
-                 cmm[:, :-1].astype(jnp.int8),
-                 cy[:, :-1].astype(jnp.int16),
-                 ccb_p[:, :-1].astype(jnp.int16),
-                 ccr_p[:, :-1].astype(jnp.int16)), ys)
+                 cy[:, :-1], ccb_d[:, :-1], ccr_d[:, :-1]), ys)
 
     return jax.jit(run_impl)
 
@@ -688,16 +821,36 @@ def _collect_leaf_cus(trees):
     return out
 
 
-def _cu_ranks(cus, W, H):
+def _cu_ranks(cus, W, H, log2_ctu=5):
     """Dependency rank per (cu, is_phantom) over 4x4 cells
     (WavefrontSearch._commit discipline). Phantoms rank AFTER their own
     region's committed children (their CCLM chroma probe reads the
     region's luma reconstruction) and leave the grid untouched — nothing
-    depends on a phantom."""
+    depends on a phantom.
+
+    The left/above dependency windows extend to 2x the block span only
+    where the below-left / above-right reference samples are AVAILABLE
+    (spec 6.4.4; unavailable samples are substitution-masked and never
+    read) — exact-availability windows shorten the critical rank chains
+    substantially vs the conservative geometric windows."""
+    n = len(cus)
+    xs_ = np.fromiter((cu.x for cu, ph in cus), np.int64, n)
+    ys_ = np.fromiter((cu.y for cu, ph in cus), np.int64, n)
+    lg_ = np.fromiter((cu.log2 for cu, ph in cus), np.int64, n)
+    ph_ = np.fromiter((1 if ph else 0 for cu, ph in cus), np.int64, n)
+    ext_l = np.zeros(n, np.int64)
+    ext_t = np.zeros(n, np.int64)
+    for lg in np.unique(lg_):
+        s = 1 << int(lg)
+        sel = lg_ == lg
+        masks = refs.avail_masks(W, H, s, 0, log2_ctu)
+        bi = (ys_[sel] // s) * (W // s) + xs_[sel] // s
+        ext_l[sel] = masks[bi, 1 + s]
+        ext_t[sel] = masks[bi, 1 + 3 * s]
+    meta = np.stack([xs_, ys_, lg_, ph_, ext_l, ext_t],
+                    axis=1).astype(np.int32)
     from ..entropy import native
     if native.available():
-        meta = np.array([(cu.x, cu.y, cu.log2, int(ph)) for cu, ph in cus],
-                        np.int32).reshape(-1, 4)
         r = native.cu_ranks_native(meta, W, H)
         if r is not None:
             return r
@@ -706,13 +859,15 @@ def _cu_ranks(cus, W, H):
     for i, (cu, phantom) in enumerate(cus):
         s = 1 << cu.log2
         x4, y4, n4 = cu.x // 4, cu.y // 4, max(s // 4, 1)
+        wl = 2 * n4 if ext_l[i] else n4
+        wt = 2 * n4 if ext_t[i] else n4
         r = 0
         if cu.x > 0:
-            col = rank_grid[max(y4 - 1, 0):min(y4 + 2 * n4, H // 4), x4 - 1]
+            col = rank_grid[max(y4 - 1, 0):min(y4 + wl, H // 4), x4 - 1]
             if col.size:
                 r = max(r, int(col.max()))
         if cu.y > 0:
-            row = rank_grid[y4 - 1, max(x4 - 1, 0):min(x4 + 2 * n4, W // 4)]
+            row = rank_grid[y4 - 1, max(x4 - 1, 0):min(x4 + wt, W // 4)]
             if row.size:
                 r = max(r, int(row.max()))
         own = rank_grid[y4:y4 + n4, x4:x4 + n4]
@@ -730,11 +885,13 @@ _T16384_DEV = {}
 _CONST_DEV = {}
 
 
-def _build_schedule(cfg, all_trees, floors=None):
+def _build_schedule(cfg, all_trees, floors=None, apply=False):
     """Per-class padded per-rank worklists for one scan pass.
 
     floors: optional (R, caps) from a previous pass — the schedule is
     padded up to them so both passes share ONE compiled executable.
+    apply=True builds the post-refine APPLY schedule: one candidate (the
+    committed luma mode) per CU plus the committed chroma mode.
     Returns (xs, entries, R, caps, n_cand) with entries[ck] a list of
     (step, slot, cu, is_phantom)."""
     W, H = cfg.width, cfg.height
@@ -745,7 +902,7 @@ def _build_schedule(cfg, all_trees, floors=None):
     items = {}          # class -> list of (rank, f, cu, is_phantom)
     R = 0
     for f, cus in per_frame:
-        ranks = _cu_ranks(cus, W, H)
+        ranks = _cu_ranks(cus, W, H, cfg.log2_ctu_size)
         R = max(R, int(ranks.max()) if len(ranks) else 0)
         for (cu, ph), r in zip(cus, ranks):
             if cu.tree == 'C':
@@ -763,9 +920,10 @@ def _build_schedule(cfg, all_trees, floors=None):
     R = -(-R // 64) * 64
 
     n_cand = 1
-    for ck, lst in items.items():
-        if ck[0] != 'C':
-            n_cand = max(n_cand, len(lst[0][2].cands))
+    if not apply:
+        for ck, lst in items.items():
+            if ck[0] != 'C':
+                n_cand = max(n_cand, len(lst[0][2].cands))
 
     caps = {}
     for ck, lst in items.items():
@@ -784,6 +942,10 @@ def _build_schedule(cfg, all_trees, floors=None):
     # slim upload dtypes (the tunnel moves ~15 MB/s): frame index int8,
     # candidate modes int8; neighbour/derived cell indices are computed on
     # device from the block index instead of being uploaded
+    # vectorized schedule fill (the former per-CU python loop was ~15% of
+    # commit wall at CIF). Phantoms compute (rank + chroma re-decision +
+    # cost) but valid=False routes their scatters to the trailing pad
+    # slot: reconstruction, mode map and coefficients stay untouched.
     xs = {}
     entries = {}
     for ck, cap in caps:
@@ -794,23 +956,43 @@ def _build_schedule(cfg, all_trees, floors=None):
              'bi': np.zeros((R, cap), np.int32)}
         if tree != 'C':
             x['cands'] = np.full((R, cap, n_cand), -1, np.int8)
-        ent = []
-        fill = np.zeros(R, np.int32)
-        nbw = W // s if tree != 'C' else W // 8
-        for r, f, cu, ph in items.get(ck, []):
-            k = fill[r]
-            fill[r] += 1
-            # phantoms compute (rank + chroma re-decision + cost) but
-            # valid=False routes their scatters to the trailing pad slot:
-            # the reconstruction, mode map and coefficients stay untouched
-            x['valid'][r, k] = not ph
-            x['bf'][r, k] = f
-            x['bi'][r, k] = (cu.y // s) * nbw + cu.x // s if tree != 'C' \
-                else (cu.y // 8) * nbw + cu.x // 8
-            if tree != 'C':
-                cl = np.asarray(cu.cands, np.int8)
-                x['cands'][r, k, :len(cl)] = cl
-            ent.append((r, k, cu, ph))
+        if apply and tree != 'L':
+            x['cmode'] = np.zeros((R, cap), np.int8)
+        lst = items.get(ck, [])
+        if not lst:
+            xs[ck] = x
+            entries[ck] = []
+            continue
+        n = len(lst)
+        r_a = np.fromiter((e[0] for e in lst), np.int64, n)
+        f_a = np.fromiter((e[1] for e in lst), np.int64, n)
+        ph_a = np.fromiter((e[3] for e in lst), bool, n)
+        cu_l = [e[2] for e in lst]
+        cx = np.fromiter((cu.x for cu in cu_l), np.int64, n)
+        cy_ = np.fromiter((cu.y for cu in cu_l), np.int64, n)
+        # slot = per-rank fill order (stable, matches the old loop)
+        order = np.argsort(r_a, kind='stable')
+        counts = np.bincount(r_a, minlength=R)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        k_a = np.empty(n, np.int64)
+        k_a[order] = np.arange(n) - starts[r_a[order]]
+        gs = s if tree != 'C' else 8
+        nbw = W // gs
+        bi_a = (cy_ // gs) * nbw + cx // gs
+        x['valid'][r_a, k_a] = ~ph_a
+        x['bf'][r_a, k_a] = f_a
+        x['bi'][r_a, k_a] = bi_a
+        if tree != 'C':
+            if apply:
+                x['cands'][r_a, k_a, 0] = np.fromiter(
+                    (cu.luma_mode for cu in cu_l), np.int64, n)
+            else:
+                cl = np.array([cu.cands for cu in cu_l], np.int8)
+                x['cands'][r_a, k_a, :cl.shape[1]] = cl
+        if apply and tree != 'L':
+            x['cmode'][r_a, k_a] = np.fromiter(
+                (cu.chroma_mode for cu in cu_l), np.int64, n)
+        ent = list(zip(r_a.tolist(), k_a.tolist(), cu_l, ph_a.tolist()))
         xs[ck] = x
         entries[ck] = ent
     return xs, entries, R, caps, n_cand
@@ -875,22 +1057,40 @@ def commit_frames_device_rd(cfg, origs, all_trees, dev_planes=None):
     cu.luma_mode/chroma_mode/coeffs and the tree structure in place;
     returns per-frame (ry, rcb, rcr) like commit_frames_tree_native.
     """
+    import os
+    import sys
+    import time
+    prof = os.environ.get('WRENC_COMMIT_PROF')
+    t0 = time.perf_counter()
     xs, entries, R, caps, n_cand = _build_schedule(cfg, all_trees)
+    t1 = time.perf_counter()
     recons, cost_map = _run_pass(cfg, origs, xs, entries, R, caps, n_cand,
                                  dev_planes)
+    t2 = time.perf_counter()
+    if prof:
+        print(f"commit pass1: sched {t1 - t0:.2f}s run+extract "
+              f"{t2 - t1:.2f}s", file=sys.stderr, flush=True)
     has_refine = any(ph for ent in entries.values() for _, _, _, ph in ent)
     if not has_refine:
         return recons
     if not _resolve_refines(cfg, all_trees, cost_map):
         return recons
-    xs2, entries2, R2, caps2, _ = _build_schedule(
-        cfg, all_trees, floors=(R, caps))
-    recons2, _ = _run_pass(cfg, origs, xs2, entries2, R2, caps2, n_cand,
-                           dev_planes)
+    t3 = time.perf_counter()
+    xs2, entries2, R2, caps2, _ = _build_schedule(cfg, all_trees,
+                                                  apply=True)
+    t4 = time.perf_counter()
+    recons2, _ = _run_pass(cfg, origs, xs2, entries2, R2, caps2, 1,
+                           dev_planes, apply=True)
+    if prof:
+        print(f"commit pass2 (apply): resolve {t3 - t2:.2f}s sched "
+              f"{t4 - t3:.2f}s run+extract "
+              f"{time.perf_counter() - t4:.2f}s",
+              file=sys.stderr, flush=True)
     return recons2
 
 
-def _run_pass(cfg, origs, xs, entries, R, caps, n_cand, dev_planes=None):
+def _run_pass(cfg, origs, xs, entries, R, caps, n_cand, dev_planes=None,
+              apply=False):
     """Run one scan pass over a built schedule: launch the jitted rank
     wavefront, write winner modes/coeffs into the (non-phantom) CU objects
     and return ([(ry, rcb, rcr)] recon planes, {id(cu): cost})."""
@@ -988,30 +1188,54 @@ def _run_pass(cfg, origs, xs, entries, R, caps, n_cand, dev_planes=None):
         print(f"device-commit geometry: F={Fp} R={R} caps={caps} "
               f"K={n_cand}", file=_sys.stderr, flush=True)
     run = _rd_commit_builder(W, H, cfg.log2_ctu_size, Fp, R, caps, n_cand,
-                             bool(cfg.cclm_enabled))
-    (ry, rcb, rcr, mm, cmm, cyp, ccbp, ccrp), ys = run(
+                             bool(cfg.cclm_enabled), apply)
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _prof = _os.environ.get('WRENC_COMMIT_PROF')
+    _t0 = _time.perf_counter()
+    (ry, rcb, rcr, cyp, ccbp, ccrp), ys = run(
         oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T, cclm_mb,
         ncc, mats)
+    _t1 = _time.perf_counter()
     ys = jax.tree_util.tree_map(np.asarray, ys)
+    if _prof:
+        print(f"  run dispatch {_t1 - _t0:.2f}s device+fetch(ys) "
+              f"{_time.perf_counter() - _t1:.2f}s",
+              file=_sys.stderr, flush=True)
     ry = np.asarray(ry[:F]).astype(np.int32).reshape(F, H, W)
     rcb = np.asarray(rcb[:F]).astype(np.int32).reshape(F, H // 2, W // 2)
     rcr = np.asarray(rcr[:F]).astype(np.int32).reshape(F, H // 2, W // 2)
-    mm = np.asarray(mm[:F])
-    cmm = np.asarray(cmm[:F])
     cyp = np.asarray(cyp[:F])
     ccbp = np.asarray(ccbp[:F])
     ccrp = np.asarray(ccrp[:F])
 
     # vectorized per-class extraction of winner modes/coefficients from
-    # the dense maps (one fancy gather per class, then cheap assignments)
+    # the dense planes (one fancy gather per class, then cheap
+    # assignments)
     cost_map = {}
     for ck, ent in entries.items():
         tree, log2 = ck
         s = 1 << log2
         o = ys[ck]
         x = xs[ck]
-        for r, k, cu, ph in ent:
-            cost_map[id(cu)] = float(o['cost'][r, k])
+        if not ent:
+            continue
+        rk = np.array([(r, k) for r, k, cu, ph in ent])
+        costs = o['cost'][rk[:, 0], rk[:, 1]].tolist()
+        for (r, k, cu, ph), c in zip(ent, costs):
+            cost_map[id(cu)] = c
+        # modes are written for phantoms too: a refine-flipped merged
+        # leaf then commits the modes its phantom evaluation ranked best
+        # (the apply second pass reads them from the CU)
+        if tree != 'C':
+            modes = o['mode'][rk[:, 0], rk[:, 1]].tolist()
+            for (r, k, cu, ph), m in zip(ent, modes):
+                cu.luma_mode = m
+        if tree != 'L':
+            cmodes = o['cmode'][rk[:, 0], rk[:, 1]].tolist()
+            for (r, k, cu, ph), m in zip(ent, cmodes):
+                cu.chroma_mode = m
         live = [(r, k, cu) for r, k, cu, ph in ent if not ph]
         if not live:
             continue
@@ -1021,23 +1245,15 @@ def _run_pass(cfg, origs, xs, entries, R, caps, n_cand, dev_planes=None):
         biv = x['bi'][rr, kk]
         if tree != 'C':
             gy_ = _geometry(W, H, s, 0, cfg.log2_ctu_size)
-            cells = _cell_table(W, H, s, cfg.log2_ctu_size)
-            modes = mm[bfv, cells[biv, 0]]
-            qy = cyp[bfv[:, None], gy_[5][biv]]
+            qy = cyp[bfv[:, None], gy_[5][biv]].reshape(-1, s, s)
             for i, (r, k, cu) in enumerate(live):
-                cu.luma_mode = int(modes[i])
-                cu.coeffs[0] = qy[i].reshape(s, s)
+                cu.coeffs[0] = qy[i]
         if tree != 'L':
             cs = (s >> 1) if tree == 'S' else 4
             gc_ = _geometry(W, H, cs, 1, cfg.log2_ctu_size)
-            cellsc = (_cell_table(W, H, s, cfg.log2_ctu_size)
-                      if tree == 'S'
-                      else _cell_table(W, H, 8, cfg.log2_ctu_size))
-            cmodes = cmm[bfv, cellsc[biv, 0]].astype(np.int32)
-            qcb = ccbp[bfv[:, None], gc_[5][biv]]
-            qcr = ccrp[bfv[:, None], gc_[5][biv]]
+            qcb = ccbp[bfv[:, None], gc_[5][biv]].reshape(-1, cs, cs)
+            qcr = ccrp[bfv[:, None], gc_[5][biv]].reshape(-1, cs, cs)
             for i, (r, k, cu) in enumerate(live):
-                cu.chroma_mode = int(cmodes[i])
-                cu.coeffs[1] = qcb[i].reshape(cs, cs)
-                cu.coeffs[2] = qcr[i].reshape(cs, cs)
+                cu.coeffs[1] = qcb[i]
+                cu.coeffs[2] = qcr[i]
     return [(ry[f], rcb[f], rcr[f]) for f in range(F)], cost_map

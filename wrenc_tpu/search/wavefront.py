@@ -123,11 +123,19 @@ class WavefrontSearch:
     # per-chunk device working set stays bounded (1080p -> 1 frame/chunk).
     BATCH_BUCKETS = (1, 2, 4, 8)
     CHUNK_PIXEL_BUDGET = 3_500_000
+    # the device commit engine amortizes its per-rank-step kernel count
+    # over the frame batch (frames share one scan), so it wants chunks as
+    # large as stage-A working memory allows
+    DEVICE_BATCH_BUCKETS = (1, 2, 4, 8, 16)
+    DEVICE_CHUNK_PIXEL_BUDGET = 9_000_000
 
     def _buckets(self):
         px = self.cfg.width * self.cfg.height
-        bs = [b for b in self.BATCH_BUCKETS
-              if b * px <= self.CHUNK_PIXEL_BUDGET]
+        buckets = (self.DEVICE_BATCH_BUCKETS if self._device_commit
+                   else self.BATCH_BUCKETS)
+        budget = (self.DEVICE_CHUNK_PIXEL_BUDGET if self._device_commit
+                  else self.CHUNK_PIXEL_BUDGET)
+        bs = [b for b in buckets if b * px <= budget]
         return bs or [1]
 
     def encode_frames(self, frames):
