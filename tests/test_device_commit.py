@@ -67,7 +67,11 @@ def test_device_rd_commit_matches_native(w, h, qp, seeds):
     coeffs_n = [[[None if c is None else c.copy() for c in cu.coeffs]
                  for cu in ws_n._collect_cus(trees)] for trees, _ in out_n]
 
-    ws_d = WavefrontSearch(cfg, commit_engine='device')
+    # pin the chroma stage A to the shared native path so both engines
+    # decide from identical trees (the fused device chroma combines
+    # costs in f32 and may flip near-ties)
+    ws_d = WavefrontSearch(cfg, commit_engine='device',
+                           chroma_stage_a='native')
     ws_d._refine_margin = 0.0
     assert ws_d._device_commit
     out_d = ws_d.encode_frames(frames)

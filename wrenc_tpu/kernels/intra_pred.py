@@ -317,7 +317,137 @@ def cclm_from_patches(m, LP, CP, masks, ly, cs, ctu_size):
     li = jnp.clip(j - cnt_t[:, None], 0, 3)
     sel_y = jnp.where(from_top, sel_y_t, _sel_cols(sel_y_l, li, 4))
     sel_c = jnp.where(from_top, sel_c_t, _sel_cols(sel_c_l, li, 4))
+    return _cclm_fit_predict(sel_y, sel_c, p_ds, empty)
 
+
+def cclm_strips(luma_flat, lx, ly, cs, H, W, bfl):
+    """Thin boundary strips for cclm_from_own (B blocks): top strip
+    (B, 2, 4cs+1) = plane rows ly-2/ly-1, cols lx-1 .. lx+4cs-1; left
+    strip (B, 4cs, 3) = rows ly .. ly+4cs-1, cols lx-3 .. lx-1; lcol
+    (B, 2cs) = col lx-1, rows ly .. ly+2cs-1 (the downsample's left
+    taps). All edge-clipped like the spec's clamped reads."""
+    TW = 4 * cs + 1
+    tr = jnp.clip(ly[:, None] + jnp.arange(2)[None, :] - 2, 0, H - 1)
+    tcl = jnp.clip(lx[:, None] + jnp.arange(TW)[None, :] - 1, 0, W - 1)
+    tstrip = luma_flat[bfl[:, None, None],
+                       tr[:, :, None] * W + tcl[:, None, :]]
+    LH = 4 * cs
+    lr = jnp.clip(ly[:, None] + jnp.arange(LH)[None, :], 0, H - 1)
+    lcl = jnp.clip(lx[:, None] + jnp.arange(3)[None, :] - 3, 0, W - 1)
+    lstrip = luma_flat[bfl[:, None, None],
+                       lr[:, :, None] * W + lcl[:, None, :]]
+    ccol = jnp.clip(lx - 1, 0, W - 1)
+    rr = jnp.clip(ly[:, None] + jnp.arange(2 * cs)[None, :], 0, H - 1)
+    lcol = luma_flat[bfl[:, None], rr * W + ccol[:, None]]
+    return tstrip, lstrip, lcol
+
+
+def cclm_cstrips(ch_flat, xs, ys, cs, hh, hw, bf):
+    """Chroma boundary strips: top row ys-1 cols xs .. xs+2cs-1 and left
+    col xs-1 rows ys .. ys+2cs-1, each (B, 2cs), edge-clipped."""
+    tcols = jnp.clip(xs[:, None] + jnp.arange(2 * cs)[None, :], 0, hw - 1)
+    trow = jnp.clip(ys - 1, 0, hh - 1)
+    ct = ch_flat[bf[:, None], trow[:, None] * hw + tcols]
+    lrows = jnp.clip(ys[:, None] + jnp.arange(2 * cs)[None, :], 0, hh - 1)
+    lcolc = jnp.clip(xs - 1, 0, hw - 1)
+    cl = ch_flat[bf[:, None], lrows * hw + lcolc[:, None]]
+    return ct, cl
+
+
+def cclm_from_own(m, own, lcol, tstrip, lstrip, ct, cl_, masks, ly, cs,
+                  ctu_size):
+    """CCLM prediction reading the block's OWN luma from a dense array.
+
+    The commit wavefront evaluates CCLM in the same step that committed
+    the co-located luma, so the (2cs, 2cs) luma is still dense in
+    registers (`own`) — only the thin boundary strips (cclm_strips /
+    cclm_cstrips) touch the reconstruction planes, cutting the gathered
+    elements ~6-9x vs full patches. Bit-identical to cclm_from_patches.
+
+    m: (B,) modes; own: (B, 2cs, 2cs); lcol/tstrip/lstrip/ct/cl_ from
+    the strip helpers; masks: (B, 4cs+1); ly: (B,) luma y."""
+    B = m.shape[0]
+    TW, LH = 4 * cs + 1, 4 * cs
+    tw = th = cs
+
+    avail_l = masks[:, 1].astype(bool)
+    avail_t = masks[:, 1 + 2 * cs].astype(bool)
+    nbl = jnp.cumprod(masks[:, 1 + cs:1 + 2 * cs], axis=1).sum(1)
+    ntr = jnp.cumprod(masks[:, 1 + 3 * cs:1 + 4 * cs], axis=1).sum(1)
+    is81, is82, is83 = m == 81, m == 82, m == 83
+    num_t = jnp.where(is82, 0, jnp.where(
+        avail_t, tw + jnp.where(is83, jnp.minimum(ntr, th), 0), 0))
+    num_l = jnp.where(is83, 0, jnp.where(
+        avail_l, th + jnp.where(is82, jnp.minimum(nbl, tw), 0), 0))
+    empty = (num_t == 0) & (num_l == 0)
+    num4 = (~(avail_t & avail_l & is81)).astype(jnp.int32)
+
+    def picks(num):
+        start = num >> (2 + num4)
+        step = jnp.maximum(num >> (1 + num4), 1)
+        cnt = jnp.minimum((1 + num4) << 1, num)
+        j = jnp.arange(4)[None, :]
+        return cnt, start[:, None] + j * step[:, None]
+
+    cnt_t, pick_t = picks(num_t)
+    cnt_l, pick_l = picks(num_l)
+
+    # ---- 2x2 downsample from the dense own-luma + the left column
+    own = own.reshape(B, 2 * cs, 2 * cs)
+    r0 = own[:, 0::2, :]
+    r1 = own[:, 1::2, :]
+    rsum = r0 + r1                                       # (B, cs, 2cs)
+    xc_sum = rsum[:, :, 0::2]
+    xr_sum = rsum[:, :, 1::2]
+    lc_sum = lcol[:, 0::2] + lcol[:, 1::2]               # (B, cs)
+    xm0 = jnp.where(avail_l[:, None], lc_sum, xc_sum[:, :, 0])
+    xm_sum = jnp.concatenate(
+        [xm0[:, :, None], xr_sum[:, :, :-1]], axis=2)
+    p_ds = (xm_sum + 2 * xc_sum + xr_sum + 4) >> 3
+
+    # ---- boundary selects on the concatenated strips (ONE one-hot):
+    # [top row ly-1 | top row ly-2 | left c3 | left c2 | left c1]
+    p = pick_t
+    px_c = 1 + 2 * p                                     # strip col of txc
+    px_m = jnp.where((p > 0) | avail_l[:, None], 2 * p, 1)
+    px_r = px_c + 1
+    q = pick_l
+    py0 = 2 * q
+    ctu_b = ((ly & (ctu_size - 1)) == 0)[:, None]
+    ystrip = jnp.concatenate(
+        [tstrip[:, 1, :], tstrip[:, 0, :],
+         lstrip[:, :, 0], lstrip[:, :, 1], lstrip[:, :, 2]], axis=1)
+    o_rb, o_c3 = TW, 2 * TW
+    o_c2, o_c1 = 2 * TW + LH, 2 * TW + 2 * LH
+    yidx = jnp.concatenate(
+        [px_m, px_c, px_r,
+         px_m + o_rb, px_c + o_rb, px_r + o_rb,
+         py0 + o_c3, py0 + 1 + o_c3,
+         py0 + o_c2, py0 + 1 + o_c2,
+         py0 + o_c1, py0 + 1 + o_c1], axis=1)
+    ysel = _sel_cols(ystrip, yidx, 2 * TW + 3 * LH).reshape(B, 12, 4)
+    sm_a, sc_a, sr_a, sm_b, sc_b, sr_b = (ysel[:, i] for i in range(6))
+    sel_norm = (sm_a + sm_b + 2 * sc_a + 2 * sc_b + sr_a + sr_b + 4) >> 3
+    sel_bdry = (sm_a + 2 * sc_a + sr_a + 2) >> 2
+    sel_y_t = jnp.where(ctu_b, sel_bdry, sel_norm)
+    sel_y_l = (ysel[:, 6] + ysel[:, 7] + 2 * ysel[:, 8] + 2 * ysel[:, 9]
+               + ysel[:, 10] + ysel[:, 11] + 4) >> 3
+    cstrip = jnp.concatenate([ct, cl_], axis=1)
+    cidx = jnp.concatenate([p, q + 2 * cs], axis=1)
+    csel = _sel_cols(cstrip, cidx, 4 * cs).reshape(B, 2, 4)
+    sel_c_t, sel_c_l = csel[:, 0], csel[:, 1]
+
+    j = jnp.arange(4)[None, :]
+    from_top = j < cnt_t[:, None]
+    li = jnp.clip(j - cnt_t[:, None], 0, 3)
+    sel_y = jnp.where(from_top, sel_y_t, _sel_cols(sel_y_l, li, 4))
+    sel_c = jnp.where(from_top, sel_c_t, _sel_cols(sel_c_l, li, 4))
+    return _cclm_fit_predict(sel_y, sel_c, p_ds, empty)
+
+
+def _cclm_fit_predict(sel_y, sel_c, p_ds, empty):
+    """Linear-model fit + prediction from the 4 selected (luma, chroma)
+    boundary pairs (intra_predictor.rs:1830-2056)."""
     # 4-point min/max network (exact spec comparison/swap order),
     # value-tracked: (y, c) pairs swap together, no index indirection
     ymn0, ymx0, ymn1, ymx1 = (sel_y[:, i] for i in range(4))

@@ -299,13 +299,52 @@ def _pow2(n, lo=8):
     return b
 
 
+SEG = 64          # ranks per compiled scan segment
+
+
 @functools.lru_cache(maxsize=None)
-def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled,
+def _carry_init(W, H, F):
+    HW, hw = H * W, (H // 2) * (W // 2)
+    n4 = (W >> 2) * (H >> 2)
+
+    @jax.jit
+    def mk():
+        return (jnp.zeros((F, HW + 1), jnp.int32),
+                jnp.zeros((F, hw + 1), jnp.int32),
+                jnp.zeros((F, hw + 1), jnp.int32),
+                jnp.zeros((F, n4 + 1), jnp.int32),
+                jnp.zeros((F, HW + 1), jnp.int16),
+                jnp.zeros((F, hw + 1), jnp.int16),
+                jnp.zeros((F, hw + 1), jnp.int16))
+    return mk
+
+
+@jax.jit
+def _carry_final(carry):
+    """Fetch-side dtypes: recon uint8, coefficients int16, pad slots
+    stripped — the tunnel is the bottleneck, not the device-side casts."""
+    ry, rcb, rcr, mm, cy, ccb, ccr = carry
+    return (ry[:, :-1].astype(jnp.uint8),
+            rcb[:, :-1].astype(jnp.uint8),
+            rcr[:, :-1].astype(jnp.uint8),
+            cy[:, :-1], ccb[:, :-1], ccr[:, :-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                        apply=False):
-    """Jitted rank-wavefront RD commit. caps: tuple of ((tree, log2), cap)
-    with tree in 'S' (single: luma+chroma), 'L' (dual luma), 'C' (SCIPU
-    chroma). Geometry (gather/scatter/cell/mask tables) is baked in;
-    QP/rate-model values are traced arguments.
+    """Jitted rank-wavefront RD commit SEGMENT. caps: tuple of
+    ((tree, log2), cap) with tree in 'S' (single: luma+chroma), 'L'
+    (dual luma), 'C' (SCIPU chroma). Geometry (gather/scatter/cell/mask
+    tables) is baked in; QP/rate-model values are traced arguments.
+
+    The full wavefront is split into fixed-length rank SEGMENTS, each
+    compiled with ITS OWN per-class caps and threading the plane carry
+    (recon, mode map, coefficient planes) to the next segment. One
+    global cap per class pads every step to the PEAK rank occupancy —
+    at 1080p that was ~10x the mean (caps follow the wavefront ramp),
+    and padded trellis/predict work dominated the scan. Segments with
+    equal caps share one compiled executable.
 
     apply=True builds the cheap APPLY variant used for the post-refine
     second pass: every CU's luma/chroma mode is already decided (n_cand
@@ -382,24 +421,14 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled,
             res_map[lg] = out
         return res_map
 
-    def run_impl(oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T,
-                 cclm_mb, ncc, mats):
+    def run_impl(carry_in, oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv,
+                 lam, T, cclm_mb, ncc, mats):
         # planes arrive uint8 (the axon tunnel moves ~15 MB/s — every
         # transferred byte counts); all arithmetic stays int32 on device
         oy = oy.astype(jnp.int32)
         ocb = ocb.astype(jnp.int32)
         ocr = ocr.astype(jnp.int32)
-        planes0 = (jnp.zeros((F, HW + 1), jnp.int32),
-                   jnp.zeros((F, hw + 1), jnp.int32),
-                   jnp.zeros((F, hw + 1), jnp.int32))
-        # dense per-frame winner-coefficient planes, written by ONE
-        # batched scatter per class after the scan. Fetching these
-        # (int16) replaces the per-rank padded (R, cap, s, s) stacked
-        # outputs whose transfer dominated round 3 (bottleneck 3).
-        coeff0 = (jnp.zeros((F, HW + 1), jnp.int16),
-                  jnp.zeros((F, hw + 1), jnp.int16),
-                  jnp.zeros((F, hw + 1), jnp.int16))
-        mm0 = jnp.zeros((F, n4 + 1), jnp.int32)
+        (ry0, rcb0, rcr0, mm0, cy0, ccb0, ccr0) = carry_in
 
         def step(carry, xt):
             ry, rcb, rcr, mm = carry
@@ -528,6 +557,8 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled,
                         o['qy'] = qy_w
                         o['cost'] = jnp.zeros((cap,), jnp.float32)
                         d['derived'] = m_win
+                        if tree == 'S':
+                            d['recy_w'] = recy_w
                         out[ck] = o
                         continue
                     # MPM neighbour cells derived on device from the block
@@ -586,6 +617,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled,
                                                  _sel_win(lvl_c, win),
                                                  ncc, lam)
                         d['derived'] = m_win
+                        d['recy_w'] = recy_w
                 elif not apply:
                     qcb_w, rcb_w, scb, lcb = got(resA, d['cb'])
                     qcr_w, rcr_w, scr, lcr = got(resA, d['cr'])
@@ -616,29 +648,52 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled,
                     lgc = cs.bit_length() - 1
                     gc = geo[(tree, log2, 1)]
                     bf = x['bf'].astype(jnp.int32)
+                    bi = x['bi']
+                    gx = jnp.asarray(gc[8])[bi]
+                    gy = jnp.asarray(gc[9])[bi]
+                    need_strips = cclm_enabled
+
+                    def bc(a, k, cap=cap):
+                        return jnp.broadcast_to(
+                            a[None], (k,) + a.shape).reshape(
+                                (k * cap,) + a.shape[1:])
+
+                    if need_strips:
+                        # the co-located luma was committed THIS step and
+                        # is still dense: only thin boundary strips touch
+                        # the planes (cclm_from_own) — the full-patch
+                        # gathers were the top per-step cost in the
+                        # round-4 profile
+                        mk = jnp.asarray(gc[7])[bi]
+                        if tree == 'S':
+                            own = d['recy_w']
+                        else:
+                            dy8 = jnp.arange(8, dtype=jnp.int32)
+                            bx8 = (bi % (W // 8)) * 8
+                            by8 = (bi // (W // 8)) * 8
+                            ridx = ((by8[:, None, None] + dy8[None, :, None])
+                                    * W + bx8[:, None, None]
+                                    + dy8[None, None, :])
+                            own = ry[bf[:, None, None], ridx]
+                        TS, LS, LC = intra_pred.cclm_strips(
+                            ry, 2 * gx, 2 * gy, cs, H, W, bf)
+                        ctb, clb = intra_pred.cclm_cstrips(
+                            rcb, gx, gy, cs, H // 2, W // 2, bf)
+                        ctr, clr = intra_pred.cclm_cstrips(
+                            rcr, gx, gy, cs, H // 2, W // 2, bf)
+                        CT2 = jnp.concatenate([ctb, ctr])
+                        CL2 = jnp.concatenate([clb, clr])
                     if apply:
                         # chosen chroma mode only: CCLM pred for the rows
                         # that picked 81..83, the wave-A derived pred for
                         # the rest, then ONE quantize per component
                         cmode_in = x['cmode'].astype(jnp.int32)
                         if cclm_enabled:
-                            mk = jnp.asarray(gc[7])[x['bi']]
-                            gx = jnp.asarray(gc[8])[x['bi']]
-                            gy = jnp.asarray(gc[9])[x['bi']]
-                            LP = intra_pred.cclm_luma_patch(
-                                ry, 2 * gx, 2 * gy, cs, H, W, bf)
-                            CP2 = jnp.concatenate([
-                                intra_pred.cclm_chroma_patch(
-                                    rcb, gx, gy, cs, H // 2, W // 2, bf),
-                                intra_pred.cclm_chroma_patch(
-                                    rcr, gx, gy, cs, H // 2, W // 2, bf)])
                             is_c = (cmode_in >= 81)[:, None]
                             m2 = jnp.tile(jnp.clip(cmode_in, 81, 83), 2)
-                            LP2 = jnp.broadcast_to(
-                                LP[None], (2,) + LP.shape).reshape(
-                                    (2 * cap,) + LP.shape[1:])
-                            p2 = intra_pred.cclm_from_patches(
-                                m2, LP2, CP2, jnp.tile(mk, (2, 1)),
+                            p2 = intra_pred.cclm_from_own(
+                                m2, bc(own, 2), bc(LC, 2), bc(TS, 2),
+                                bc(LS, 2), CT2, CL2, jnp.tile(mk, (2, 1)),
                                 jnp.tile(2 * gy, 2), cs, 1 << log2_ctu)
                             p2 = p2.reshape(2, cap, cs * cs)
                             pb = jnp.where(is_c, p2[0], d['pcb1'])
@@ -653,29 +708,13 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled,
                                         ls_tab[1, lgc - 2],
                                         bd_tab[1, lgc - 2])
                         continue
-                    mk = jnp.asarray(gc[7])[x['bi']]
-                    gx = jnp.asarray(gc[8])[x['bi']]
-                    gy = jnp.asarray(gc[9])[x['bi']]
                     modes6 = jnp.repeat(jnp.arange(81, 84, dtype=jnp.int32),
                                         2 * cap)
-                    # one luma patch per block and one chroma patch per
-                    # (component, block), shared by all three CCLM modes —
-                    # the per-sample plane gathers this replaces were the
-                    # round-3 scalar-gather bottleneck (gl())
-                    LP = intra_pred.cclm_luma_patch(
-                        ry, 2 * gx, 2 * gy, cs, H, W, bf)
-                    CP2 = jnp.concatenate([
-                        intra_pred.cclm_chroma_patch(
-                            rcb, gx, gy, cs, H // 2, W // 2, bf),
-                        intra_pred.cclm_chroma_patch(
-                            rcr, gx, gy, cs, H // 2, W // 2, bf)])
-                    LP6 = jnp.broadcast_to(LP[None], (6,) + LP.shape) \
-                        .reshape((6 * cap,) + LP.shape[1:])
-                    CP6 = jnp.broadcast_to(CP2[None], (3,) + CP2.shape) \
-                        .reshape((6 * cap,) + CP2.shape[1:])
-                    p6 = intra_pred.cclm_from_patches(
-                        modes6, LP6, CP6, jnp.tile(mk, (6, 1)),
-                        jnp.tile(2 * gy, 6), cs, 1 << log2_ctu)
+                    p6 = intra_pred.cclm_from_own(
+                        modes6, bc(own, 6), bc(LC, 6), bc(TS, 6),
+                        bc(LS, 6), bc(CT2, 3, 2 * cap), bc(CL2, 3, 2 * cap),
+                        jnp.tile(mk, (6, 1)), jnp.tile(2 * gy, 6), cs,
+                        1 << log2_ctu)
                     p6 = p6.reshape(3, 2, cap, cs * cs)
                     pcb3, pcr3 = p6[:, 0], p6[:, 1]           # (3, cap, P)
                     sad = (jnp.abs(pcb3 - d['ocb'][None]).sum(2)
@@ -753,18 +792,15 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled,
                              else cost_ch)
             return (ry, rcb, rcr, mm), out
 
-        carry, ys = jax.lax.scan(
-            step, (planes0[0], planes0[1], planes0[2], mm0), xs)
+        carry, ys = jax.lax.scan(step, (ry0, rcb0, rcr0, mm0), xs)
         ry, rcb, rcr, mm = carry
 
-        # ---- post-scan: ONE batched scatter per class writes the winner
-        # coefficients into dense int16 planes (the scan never reads
-        # them, so these scatters need not run inside the steps); the
-        # stacked per-step q arrays stay device-resident and are dropped
-        # from the returned ys
-        cy = coeff0[0]
-        ccb_d = coeff0[1]
-        ccr_d = coeff0[2]
+        # ---- post-segment: ONE batched scatter per class writes the
+        # winner coefficients into the carried dense int16 planes (the
+        # scan never reads them); the stacked per-step q arrays stay
+        # device-resident and are dropped from the returned ys
+        cy, ccb_d, ccr_d = cy0, ccb0, ccr0
+        R = next(iter(xs.values()))['valid'].shape[0]
         for ck in classes:
             tree, log2 = ck
             cap = capd[ck]
@@ -787,13 +823,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, R, caps, n_cand, cclm_enabled,
                     o.pop('qcb').reshape(R * cap, -1))
                 ccr_d = ccr_d.at[bf_a[:, None], crows].set(
                     o.pop('qcr').reshape(R * cap, -1))
-
-        # fetch-side dtypes: recon uint8, modes int8, coefficients int16
-        # — the tunnel is the bottleneck, not the device-side casts
-        return ((ry[:, :-1].astype(jnp.uint8),
-                 rcb[:, :-1].astype(jnp.uint8),
-                 rcr[:, :-1].astype(jnp.uint8),
-                 cy[:, :-1], ccb_d[:, :-1], ccr_d[:, :-1]), ys)
+        return (ry, rcb, rcr, mm, cy, ccb_d, ccr_d), ys
 
     return jax.jit(run_impl)
 
@@ -885,15 +915,16 @@ _T16384_DEV = {}
 _CONST_DEV = {}
 
 
-def _build_schedule(cfg, all_trees, floors=None, apply=False):
-    """Per-class padded per-rank worklists for one scan pass.
+def _build_schedule(cfg, all_trees, apply=False):
+    """Per-class padded per-rank worklists for one scan pass, split into
+    SEG-rank segments each with its own per-class caps (pow2-rounded, so
+    segments with equal occupancy share compiled executables).
 
-    floors: optional (R, caps) from a previous pass — the schedule is
-    padded up to them so both passes share ONE compiled executable.
     apply=True builds the post-refine APPLY schedule: one candidate (the
     committed luma mode) per CU plus the committed chroma mode.
-    Returns (xs, entries, R, caps, n_cand) with entries[ck] a list of
-    (step, slot, cu, is_phantom)."""
+    Returns (segments, n_cand) with segments a list of
+    (caps, xs, entries); entries[ck] lists (local_step, slot, cu,
+    is_phantom)."""
     W, H = cfg.width, cfg.height
     n4w = W >> 2
     ctu = cfg.ctu_size
@@ -925,44 +956,14 @@ def _build_schedule(cfg, all_trees, floors=None, apply=False):
             if ck[0] != 'C':
                 n_cand = max(n_cand, len(lst[0][2].cands))
 
-    caps = {}
-    for ck, lst in items.items():
-        cnt = np.zeros(R, np.int32)
-        for r, f, cu, ph in lst:
-            cnt[r] += 1
-        caps[ck] = _pow2(int(cnt.max()))
-    if floors is not None:
-        R0, caps0 = floors
-        assert R <= R0, "pass-2 rank exceeded pass 1's (ranks only shrink)"
-        R = R0
-        for ck, cap in caps0:
-            caps[ck] = max(caps.get(ck, 0), cap)
-    caps = tuple(sorted(caps.items()))
+    n_seg = R // SEG
 
-    # slim upload dtypes (the tunnel moves ~15 MB/s): frame index int8,
-    # candidate modes int8; neighbour/derived cell indices are computed on
-    # device from the block index instead of being uploaded
-    # vectorized schedule fill (the former per-CU python loop was ~15% of
-    # commit wall at CIF). Phantoms compute (rank + chroma re-decision +
-    # cost) but valid=False routes their scatters to the trailing pad
-    # slot: reconstruction, mode map and coefficients stay untouched.
-    xs = {}
-    entries = {}
-    for ck, cap in caps:
+    # per-class per-CU arrays, computed once (vectorized; the former
+    # per-CU python loop was ~15% of commit wall at CIF)
+    cls_data = {}
+    for ck, lst in items.items():
         tree, log2 = ck
         s = 1 << log2
-        x = {'valid': np.zeros((R, cap), bool),
-             'bf': np.zeros((R, cap), np.int8),
-             'bi': np.zeros((R, cap), np.int32)}
-        if tree != 'C':
-            x['cands'] = np.full((R, cap, n_cand), -1, np.int8)
-        if apply and tree != 'L':
-            x['cmode'] = np.zeros((R, cap), np.int8)
-        lst = items.get(ck, [])
-        if not lst:
-            xs[ck] = x
-            entries[ck] = []
-            continue
         n = len(lst)
         r_a = np.fromiter((e[0] for e in lst), np.int64, n)
         f_a = np.fromiter((e[1] for e in lst), np.int64, n)
@@ -970,32 +971,67 @@ def _build_schedule(cfg, all_trees, floors=None, apply=False):
         cu_l = [e[2] for e in lst]
         cx = np.fromiter((cu.x for cu in cu_l), np.int64, n)
         cy_ = np.fromiter((cu.y for cu in cu_l), np.int64, n)
-        # slot = per-rank fill order (stable, matches the old loop)
+        # slot = per-rank fill order (stable, matches the sequential fill)
         order = np.argsort(r_a, kind='stable')
         counts = np.bincount(r_a, minlength=R)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         k_a = np.empty(n, np.int64)
         k_a[order] = np.arange(n) - starts[r_a[order]]
         gs = s if tree != 'C' else 8
-        nbw = W // gs
-        bi_a = (cy_ // gs) * nbw + cx // gs
-        x['valid'][r_a, k_a] = ~ph_a
-        x['bf'][r_a, k_a] = f_a
-        x['bi'][r_a, k_a] = bi_a
-        if tree != 'C':
-            if apply:
-                x['cands'][r_a, k_a, 0] = np.fromiter(
-                    (cu.luma_mode for cu in cu_l), np.int64, n)
-            else:
-                cl = np.array([cu.cands for cu in cu_l], np.int8)
-                x['cands'][r_a, k_a, :cl.shape[1]] = cl
-        if apply and tree != 'L':
-            x['cmode'][r_a, k_a] = np.fromiter(
-                (cu.chroma_mode for cu in cu_l), np.int64, n)
-        ent = list(zip(r_a.tolist(), k_a.tolist(), cu_l, ph_a.tolist()))
-        xs[ck] = x
-        entries[ck] = ent
-    return xs, entries, R, caps, n_cand
+        bi_a = (cy_ // gs) * (W // gs) + cx // gs
+        seg_caps = np.zeros(n_seg, np.int64)
+        for si in range(n_seg):
+            mx = counts[si * SEG:(si + 1) * SEG].max() if n else 0
+            seg_caps[si] = _pow2(int(mx)) if mx else 0
+        cls_data[ck] = (r_a, k_a, f_a, ph_a, cu_l, bi_a, seg_caps)
+
+    # slim upload dtypes (the tunnel moves ~15 MB/s): frame index int8,
+    # candidate modes int8; neighbour/derived cell indices are computed
+    # on device from the block index instead of being uploaded. Phantoms
+    # compute (rank + chroma re-decision + cost) but valid=False routes
+    # their scatters to the trailing pad slot.
+    segments = []
+    for si in range(n_seg):
+        caps_t = tuple(sorted(
+            (ck, int(d[6][si])) for ck, d in cls_data.items()
+            if d[6][si] > 0))
+        xs = {}
+        entries = {}
+        for ck, cap in caps_t:
+            tree, log2 = ck
+            x = {'valid': np.zeros((SEG, cap), bool),
+                 'bf': np.zeros((SEG, cap), np.int8),
+                 'bi': np.zeros((SEG, cap), np.int32)}
+            if tree != 'C':
+                x['cands'] = np.full((SEG, cap, n_cand), -1, np.int8)
+            if apply and tree != 'L':
+                x['cmode'] = np.zeros((SEG, cap), np.int8)
+            r_a, k_a, f_a, ph_a, cu_l, bi_a, _sc = cls_data[ck]
+            sel = (r_a // SEG) == si
+            rl = r_a[sel] - si * SEG
+            kl = k_a[sel]
+            x['valid'][rl, kl] = ~ph_a[sel]
+            x['bf'][rl, kl] = f_a[sel]
+            x['bi'][rl, kl] = bi_a[sel]
+            idxs = np.nonzero(sel)[0]
+            cus_s = [cu_l[i] for i in idxs]
+            if tree != 'C':
+                if apply:
+                    x['cands'][rl, kl, 0] = np.fromiter(
+                        (cu.luma_mode for cu in cus_s), np.int64,
+                        len(cus_s))
+                else:
+                    cl = np.array([cu.cands for cu in cus_s], np.int8)
+                    if len(cus_s):
+                        x['cands'][rl, kl, :cl.shape[1]] = cl
+            if apply and tree != 'L':
+                x['cmode'][rl, kl] = np.fromiter(
+                    (cu.chroma_mode for cu in cus_s), np.int64, len(cus_s))
+            entries[ck] = list(zip(rl.tolist(), kl.tolist(), cus_s,
+                                   ph_a[sel].tolist()))
+            xs[ck] = x
+        segments.append((caps_t, xs, entries))
+    return segments, n_cand
 
 
 def _resolve_refines(cfg, all_trees, cost_map):
@@ -1062,38 +1098,39 @@ def commit_frames_device_rd(cfg, origs, all_trees, dev_planes=None):
     import time
     prof = os.environ.get('WRENC_COMMIT_PROF')
     t0 = time.perf_counter()
-    xs, entries, R, caps, n_cand = _build_schedule(cfg, all_trees)
+    segments, n_cand = _build_schedule(cfg, all_trees)
     t1 = time.perf_counter()
-    recons, cost_map = _run_pass(cfg, origs, xs, entries, R, caps, n_cand,
-                                 dev_planes)
+    recons, cost_map = _run_pass(cfg, origs, segments, n_cand, dev_planes)
     t2 = time.perf_counter()
     if prof:
         print(f"commit pass1: sched {t1 - t0:.2f}s run+extract "
-              f"{t2 - t1:.2f}s", file=sys.stderr, flush=True)
-    has_refine = any(ph for ent in entries.values() for _, _, _, ph in ent)
+              f"{t2 - t1:.2f}s ({len(segments)} segs, "
+              f"{len(set(s[0] for s in segments))} distinct)",
+              file=sys.stderr, flush=True)
+    has_refine = any(ph for _, _, entries in segments
+                     for ent in entries.values() for _, _, _, ph in ent)
     if not has_refine:
         return recons
     if not _resolve_refines(cfg, all_trees, cost_map):
         return recons
     t3 = time.perf_counter()
-    xs2, entries2, R2, caps2, _ = _build_schedule(cfg, all_trees,
-                                                  apply=True)
+    segments2, _ = _build_schedule(cfg, all_trees, apply=True)
     t4 = time.perf_counter()
-    recons2, _ = _run_pass(cfg, origs, xs2, entries2, R2, caps2, 1,
-                           dev_planes, apply=True)
+    recons2, _ = _run_pass(cfg, origs, segments2, 1, dev_planes,
+                           apply=True)
     if prof:
         print(f"commit pass2 (apply): resolve {t3 - t2:.2f}s sched "
               f"{t4 - t3:.2f}s run+extract "
-              f"{time.perf_counter() - t4:.2f}s",
+              f"{time.perf_counter() - t4:.2f}s ({len(segments2)} segs)",
               file=sys.stderr, flush=True)
     return recons2
 
 
-def _run_pass(cfg, origs, xs, entries, R, caps, n_cand, dev_planes=None,
-              apply=False):
-    """Run one scan pass over a built schedule: launch the jitted rank
-    wavefront, write winner modes/coeffs into the (non-phantom) CU objects
-    and return ([(ry, rcb, rcr)] recon planes, {id(cu): cost})."""
+def _run_pass(cfg, origs, segments, n_cand, dev_planes=None, apply=False):
+    """Run one wavefront pass over a segmented schedule: launch the
+    jitted rank-wavefront segments threading the plane carry, write
+    winner modes/coeffs into the (non-phantom) CU objects and return
+    ([(ry, rcb, rcr)] recon planes, {id(cu): cost})."""
     W, H = cfg.width, cfg.height
     rm = cfg.rate_model
     dep = cfg.dep_quant_enabled
@@ -1173,47 +1210,58 @@ def _run_pass(cfg, origs, xs, entries, R, caps, n_cand, dev_planes=None,
     # process) rather than jit constants: keeps the scan program small
     # enough for the remote compiler and shared across geometry buckets
     mats = {}
-    for (tree, log2), cap in caps:
-        if cap <= 0:
-            continue
-        if tree != 'C':
-            mats[('y', 1 << log2)] = intra_pred.mats_device_f32(1 << log2, 0)
-        if tree != 'L':
-            cs = (1 << log2) >> 1 if tree == 'S' else 4
-            mats[('c', cs)] = intra_pred.mats_device_f32(cs, 1)
+    for caps_t, _xs, _ent in segments:
+        for (tree, log2), cap in caps_t:
+            if tree != 'C':
+                mats[('y', 1 << log2)] = \
+                    intra_pred.mats_device_f32(1 << log2, 0)
+            if tree != 'L':
+                cs = (1 << log2) >> 1 if tree == 'S' else 4
+                mats[('c', cs)] = intra_pred.mats_device_f32(cs, 1)
 
-    import os as _os
-    if _os.environ.get('WRENC_COMMIT_PROF'):
-        import sys as _sys
-        print(f"device-commit geometry: F={Fp} R={R} caps={caps} "
-              f"K={n_cand}", file=_sys.stderr, flush=True)
-    run = _rd_commit_builder(W, H, cfg.log2_ctu_size, Fp, R, caps, n_cand,
-                             bool(cfg.cclm_enabled), apply)
     import os as _os
     import sys as _sys
     import time as _time
     _prof = _os.environ.get('WRENC_COMMIT_PROF')
     _t0 = _time.perf_counter()
-    (ry, rcb, rcr, cyp, ccbp, ccrp), ys = run(
-        oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv, lam, T, cclm_mb,
-        ncc, mats)
+    carry = _carry_init(W, H, Fp)()
+    ys_segs = []
+    for caps_t, xs, _ent in segments:
+        if not caps_t:          # empty rank span (bucketing artifact)
+            ys_segs.append({})
+            continue
+        run = _rd_commit_builder(W, H, cfg.log2_ctu_size, Fp, caps_t,
+                                 n_cand, bool(cfg.cclm_enabled), apply)
+        carry, ys = run(carry, oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq,
+                        lv, lam, T, cclm_mb, ncc, mats)
+        ys_segs.append(ys)
+    fin = _carry_final(carry)
     _t1 = _time.perf_counter()
-    ys = jax.tree_util.tree_map(np.asarray, ys)
+    ys_segs = jax.tree_util.tree_map(np.asarray, ys_segs)
+    (ry, rcb, rcr, cyp, ccbp, ccrp) = \
+        jax.tree_util.tree_map(np.asarray, fin)
     if _prof:
-        print(f"  run dispatch {_t1 - _t0:.2f}s device+fetch(ys) "
+        print(f"  run dispatch {_t1 - _t0:.2f}s device+fetch "
               f"{_time.perf_counter() - _t1:.2f}s",
               file=_sys.stderr, flush=True)
-    ry = np.asarray(ry[:F]).astype(np.int32).reshape(F, H, W)
-    rcb = np.asarray(rcb[:F]).astype(np.int32).reshape(F, H // 2, W // 2)
-    rcr = np.asarray(rcr[:F]).astype(np.int32).reshape(F, H // 2, W // 2)
-    cyp = np.asarray(cyp[:F])
-    ccbp = np.asarray(ccbp[:F])
-    ccrp = np.asarray(ccrp[:F])
+    ry = ry[:F].astype(np.int32).reshape(F, H, W)
+    rcb = rcb[:F].astype(np.int32).reshape(F, H // 2, W // 2)
+    rcr = rcr[:F].astype(np.int32).reshape(F, H // 2, W // 2)
+    cyp = cyp[:F]
+    ccbp = ccbp[:F]
+    ccrp = ccrp[:F]
 
     # vectorized per-class extraction of winner modes/coefficients from
     # the dense planes (one fancy gather per class, then cheap
     # assignments)
     cost_map = {}
+    for (caps_t, xs, entries), ys in zip(segments, ys_segs):
+        _extract_segment(cfg, entries, xs, ys, cyp, ccbp, ccrp, cost_map)
+    return [(ry[f], rcb[f], rcr[f]) for f in range(F)], cost_map
+
+
+def _extract_segment(cfg, entries, xs, ys, cyp, ccbp, ccrp, cost_map):
+    W, H = cfg.width, cfg.height
     for ck, ent in entries.items():
         tree, log2 = ck
         s = 1 << log2
@@ -1256,4 +1304,3 @@ def _run_pass(cfg, origs, xs, entries, R, caps, n_cand, dev_planes=None,
             for i, (r, k, cu) in enumerate(live):
                 cu.coeffs[1] = qcb[i]
                 cu.coeffs[2] = qcr[i]
-    return [(ry[f], rcb[f], rcr[f]) for f in range(F)], cost_map

@@ -37,7 +37,7 @@ import functools
 
 class WavefrontSearch:
     def __init__(self, cfg, trellis_commit=True, mesh=None, rd_commit=True,
-                 commit_engine=None):
+                 commit_engine=None, chroma_stage_a=None):
         """mesh: optional jax.sharding.Mesh with a 'frame' axis — the frame
         batch of stage A is sharded across it (all-intra frames are
         independent, so this is pure data parallelism; SURVEY.md §2.3).
@@ -94,6 +94,13 @@ class WavefrontSearch:
             and getattr(self.rm, 'commit_rank_trellis', 0)
             and getattr(self.rm, 'commit_chroma_redecide', 0))
         self._device_commit = bool(use_device)
+        # chroma stage A engine: 'device' = the fused on-device jit
+        # (default for the device pipeline), 'native' = the host C++
+        # call (the f64-combine reference; tests pin this to compare
+        # engines from identical trees)
+        self._chroma_device = (chroma_stage_a or os.environ.get(
+            'WRENC_CHROMA_STAGE_A',
+            'device' if self._device_commit else 'native')) == 'device'
         self._refine_margin = self.rm.split_refine_margin
 
     # ------------------------------------------------------------- stage A
@@ -128,6 +135,8 @@ class WavefrontSearch:
     # large as stage-A working memory allows
     DEVICE_BATCH_BUCKETS = (1, 2, 4, 8, 16)
     DEVICE_CHUNK_PIXEL_BUDGET = 9_000_000
+    # frames per commit SCAN (stage-A sub-batches are grouped up to this)
+    DEVICE_COMMIT_FRAMES = 16
 
     def _buckets(self):
         px = self.cfg.width * self.cfg.height
@@ -145,11 +154,18 @@ class WavefrontSearch:
         is asynchronous), so the TPU computes under the host commit; the
         commit of chunk k additionally runs in a worker thread (ctypes /
         device calls release the GIL) under chunk k+1's Python decide
-        phase. Returns [(trees, recon), ...]."""
+        phase. The device commit engine groups SEVERAL stage-A
+        sub-batches into one commit scan (DEVICE_COMMIT_FRAMES): the
+        rank-wavefront's step count is per-frame-independent, so a
+        larger frame batch amortizes the per-step kernel overhead that
+        sets the scan's wall time. Returns [(trees, recon), ...]."""
         self.phase_times = {}
         out = []
         max_b = self._buckets()[-1]
         chunks = [frames[i:i + max_b] for i in range(0, len(frames), max_b)]
+        group_n = 1
+        if self._device_commit and max_b < self.DEVICE_COMMIT_FRAMES:
+            group_n = max(1, self.DEVICE_COMMIT_FRAMES // max_b)
         pending = self._dispatch_stage_a(chunks[0])
         from ..entropy import native
         overlap = (len(chunks) > 1
@@ -160,26 +176,44 @@ class WavefrontSearch:
                          and (not self.rd_commit
                               or native.tree_commit_supported()))))
         if not overlap:
-            for k, chunk in enumerate(chunks):
-                nxt = (self._dispatch_stage_a(chunks[k + 1])
-                       if k + 1 < len(chunks) else None)
-                out.extend(self._finish_chunk(chunk, pending))
-                pending = nxt
-            return out
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            prev = None
+            gb, gt, gd = [], [], []
             for k, chunk in enumerate(chunks):
                 nxt = (self._dispatch_stage_a(chunks[k + 1])
                        if k + 1 < len(chunks) else None)
                 batch, trees, devp = self._decide_chunk(chunk, pending)
-                if prev is not None:
-                    out.extend(self._join_commit(prev))
-                timing = {}
-                fut = pool.submit(self._commit_timed, batch, trees, timing,
-                                  devp)
-                prev = (fut, trees, timing)
+                gb.extend(batch)
+                gt.extend(trees)
+                gd.append((devp, len(batch)))
                 pending = nxt
+                if len(chunks) == k + 1 or (k + 1) % group_n == 0:
+                    import time as _time
+                    t0 = _time.perf_counter()
+                    recons = self._commit_all(gt, gb, _merge_devp(gd))
+                    self._phase('host_commit',
+                                _time.perf_counter() - t0)
+                    out.extend(list(zip(gt, recons)))
+                    gb, gt, gd = [], [], []
+            return out
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            prev = None
+            gb, gt, gd = [], [], []
+            for k, chunk in enumerate(chunks):
+                nxt = (self._dispatch_stage_a(chunks[k + 1])
+                       if k + 1 < len(chunks) else None)
+                batch, trees, devp = self._decide_chunk(chunk, pending)
+                gb.extend(batch)
+                gt.extend(trees)
+                gd.append((devp, len(batch)))
+                pending = nxt
+                if len(chunks) == k + 1 or (k + 1) % group_n == 0:
+                    if prev is not None:
+                        out.extend(self._join_commit(prev))
+                    timing = {}
+                    fut = pool.submit(self._commit_timed, gb, gt, timing,
+                                      _merge_devp(gd))
+                    prev = (fut, gt, timing)
+                    gb, gt, gd = [], [], []
             out.extend(self._join_commit(prev))
         return out
 
@@ -293,7 +327,11 @@ class WavefrontSearch:
         self._phase('host_select', _time.perf_counter() - t0)
         t0 = _time.perf_counter()
         chroma_cache = {}
-        self._prefill_chroma_cache(chroma_cache, luma_mode_b, sizes, F)
+        if self._chroma_device and dev_planes is not None:
+            self._prefill_chroma_device(chroma_cache, luma_mode_b, sizes,
+                                        F, dev_planes)
+        else:
+            self._prefill_chroma_cache(chroma_cache, luma_mode_b, sizes, F)
         self._phase('host_chroma_rd', _time.perf_counter() - t0)
         t0 = _time.perf_counter()
         all_trees = []
@@ -568,6 +606,60 @@ class WavefrontSearch:
                 best = np.argmin(c, axis=1)
                 cost = np.take_along_axis(c, best[:, None, :], axis=1)[:, 0]
                 cache[('cclm', cs)] = (cost, (81 + best).astype(np.int32))
+
+    def _prefill_chroma_device(self, cache, luma_mode_b, sizes, F,
+                               dev_planes):
+        """Chroma stage A fully on device in ONE fused jit (derived +
+        CCLM + SCIPU costs for every size) — replaces the native host
+        call for the device pipeline; see _fused_chroma_builder."""
+        cfg = self.cfg
+        css = tuple(sorted(s // 2 for s in sizes if s >= 8))
+        scipu = 4 in sizes and 8 in sizes
+        Fp = int(dev_planes[0].shape[0])
+        run = _fused_chroma_builder(cfg.width, cfg.height,
+                                    cfg.log2_ctu_size, css, Fp,
+                                    bool(cfg.cclm_enabled), scipu)
+
+        def padF(a):
+            a = np.asarray(a, np.int32)
+            if a.shape[0] < Fp:
+                a = np.concatenate([a] + [a[-1:]] * (Fp - a.shape[0]))
+            return a
+
+        dmodes = {cs: padF(luma_mode_b[2 * cs]) for cs in css}
+        if scipu:
+            W, H = cfg.width, cfg.height
+            sm = luma_mode_b[4].reshape(
+                -1, H // 4, W // 4)[:, 1::2, 1::2].reshape(
+                    luma_mode_b[4].shape[0], -1)
+            scipu_modes = padF(sm)
+        else:
+            scipu_modes = np.zeros((Fp, 1), np.int32)
+        ls_c = np.array([self.qpar[(1, lg)].ls for lg in (2, 3, 4)],
+                        np.int32)
+        bd_c = np.array([self.qpar[(1, lg)].bd_shift for lg in (2, 3, 4)],
+                        np.int32)
+        dep = cfg.dep_quant_enabled
+        co = self.rm.pick('cclm_offset', dep, True)
+        cio = self.rm.pick('cclm_mode_idx_offset', dep, True)
+        bits = np.float32([co + (i + cio) ** self.rm.cclm_pow
+                           for i in range(3)])
+        mats = {('c', cs): intra_pred.mats_device_f32(cs, 1) for cs in css}
+        res = run(dev_planes[0], dev_planes[1], dev_planes[2], dmodes,
+                  scipu_modes, ls_c, bd_c, jnp.asarray(self.lam_dq_greedy),
+                  jnp.asarray(self.lv_greedy), np.float32(self.lam), bits,
+                  mats)
+        res = jax.tree_util.tree_map(np.asarray, res)
+        for cs in css:
+            if ('d', cs) in res:
+                cache[('leaf', 2 * cs)] = \
+                    res[('d', cs)][:F].astype(np.float64)
+            if cs == 4 and ('sc', cs) in res:
+                cache[('scipu', 8)] = res[('sc', cs)][:F].astype(np.float64)
+            if ('cc', cs) in res:
+                best, pick = res[('cc', cs)]
+                cache[('cclm', cs)] = (best[:F].astype(np.float64),
+                                       (81 + pick[:F]).astype(np.int32))
 
     def _chroma_cached(self, cache, key, cs, modes_b, fi):
         if key not in cache:
@@ -902,6 +994,19 @@ class WavefrontSearch:
             cu.coeffs[c_idx] = q[i]
 
 
+def _merge_devp(gd):
+    """Concatenate per-sub-batch device planes ((y, cb, cr) uint8, padded
+    to the stage-A bucket) into one commit-group set; None if any
+    sub-batch lacks them."""
+    if any(d is None for d, n in gd):
+        return None
+    if len(gd) == 1:
+        d, n = gd[0]
+        return tuple(p[:n] for p in d)
+    return tuple(
+        jnp.concatenate([d[i][:n] for d, n in gd]) for i in range(3))
+
+
 _MPM_BITS_CACHE = {}
 
 
@@ -936,6 +1041,183 @@ def _mpm_bits_table(rm, dep):
 
 
 # ------------------------------------------------------------ jit helpers
+def _sel_w_split(modes, Wm, bits=8):
+    """Per-block prediction-matrix rows W[modes] (N, L, P) via TWO
+    one-hot bf16 MXU contractions over signed 8-bit pieces — a direct
+    per-row gather of the (67, L, P) matrix lowers to a scalar loop.
+    Exact: lo pieces in [0, 256), hi in [-2^7ish, 2^7ish], one-hot rows
+    select a single element, f32 accumulation of one term."""
+    M, L, P = Wm.shape
+    w = Wm.astype(jnp.int32)
+    lo = w & ((1 << bits) - 1)
+    hi = (w - lo) >> bits
+    hot = (modes[:, None] == jnp.arange(M, dtype=jnp.int32)
+           ).astype(jnp.bfloat16)
+    flat_lo = lo.astype(jnp.bfloat16).reshape(M, L * P)
+    flat_hi = hi.astype(jnp.bfloat16).reshape(M, L * P)
+    glo = jnp.einsum('nm,mq->nq', hot, flat_lo,
+                     preferred_element_type=jnp.float32)
+    ghi = jnp.einsum('nm,mq->nq', hot, flat_hi,
+                     preferred_element_type=jnp.float32)
+    return (ghi.astype(jnp.int32).reshape(-1, L, P) << bits) \
+        + glo.astype(jnp.int32).reshape(-1, L, P)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_chroma_builder(W, H, log2_ctu, css, F, cclm, scipu):
+    """One jit for the whole chroma stage A on device: for every chroma
+    size cs in `css`, derived-mode greedy RD cost per block (cb+cr) and —
+    when cclm — the three CCLM candidates' costs, all from the ORIGINAL
+    planes (stage-A discipline), combined in f32 on device. Replaces the
+    native host chroma_stage_a call for the device pipeline (VERDICT r3
+    item 5: host_chroma_rd was the next ceiling after commit). Returns
+    per size: cost_d (F, N), and (cclm) best cost (F, N) + pick (F, N)
+    int8; plus the SCIPU variant at cs=4.
+
+    Same greedy decisions and f32 rate accumulation as the native path;
+    the final cost combine is f32 (vs f64 on host), so rare near-ties in
+    the QT/CCLM choices may differ — equally coded either way."""
+    hw = (H // 2) * (W // 2)
+
+    consts = {}
+    for cs in css:
+        src, fill = refs.subst_gather(W, H, cs, 1, log2_ctu)
+        pi, ni, keep = refs.filter121_indices(cs)
+        masks = refs.avail_masks(W, H, cs, 1, log2_ctu)
+        xs, ys = refs.block_grid(W, H, cs, 1)
+        consts[cs] = (src.astype(np.int32), fill, pi, ni, keep,
+                      masks, xs.astype(np.int32), ys.astype(np.int32))
+
+    def eval_rd(pred, orig, ls, bd, lam_dq, lv, lgc, lam):
+        ssd, rate = _rd_eval_inner(pred.reshape(-1, 1 << lgc, 1 << lgc),
+                                   orig.reshape(-1, 1 << lgc, 1 << lgc),
+                                   ls, bd, lam_dq, lv, lgc)
+        return ssd + lam * (rate / 16384.0)
+
+    def run(py, pcb, pcr, dmodes, scipu_modes, ls_c, bd_c, lam_dq, lv,
+            lam, cclm_bits, mats):
+        py = py.astype(jnp.int32)
+        pcb = pcb.astype(jnp.int32)
+        pcr = pcr.astype(jnp.int32)
+        out = {}
+        for cs in css:
+            src, fill, pi, ni, keep, masks, xs, ys = consts[cs]
+            lgc = cs.bit_length() - 1
+            N = src.shape[0]
+            ls, bd = ls_c[lgc - 2], bd_c[lgc - 2]
+            m = mats[('c', cs)]
+            # block pixels via reshape (aligned grid tiles the plane)
+            n_bw = (W // 2) // cs
+
+            def blocks(p):
+                return p.reshape(F, (H // 2) // cs, cs, n_bw, cs) \
+                    .transpose(0, 1, 3, 2, 4).reshape(F * N, cs * cs)
+
+            ob = blocks(pcb)
+            orr = blocks(pcr)
+
+            def build_v(plane):
+                u = jnp.where(jnp.asarray(fill)[None, :, None], 128,
+                              plane.reshape(F, -1)[:, jnp.asarray(src)])
+                u = u.reshape(-1, src.shape[1])
+                uf = jnp.where(jnp.asarray(keep)[None, :], u,
+                               (u[:, jnp.asarray(pi)] + 2 * u
+                                + u[:, jnp.asarray(ni)] + 2) >> 2)
+                return jnp.concatenate([u, uf], axis=1)
+
+            vcb = build_v(pcb)
+            vcr = build_v(pcr)
+
+            def pred_modes(v, modes_fn):
+                # modes_fn (F*N,) -> (F*N, cs*cs) single-mode prediction
+                W1s = _sel_w_split(modes_fn, m['W1'].astype(jnp.int32))
+                W2s = _sel_w_split(modes_fn, m['W2'].astype(jnp.int32))
+                vf = v.astype(jnp.float32)
+                x1 = jnp.einsum('nl,nlp->np', vf,
+                                W1s.astype(jnp.float32),
+                                preferred_element_type=jnp.float32,
+                                precision=transforms.EXACT
+                                ).astype(jnp.int32)
+                c1 = _dev_sel(m['c1'], modes_fn)[:, None]
+                s1 = _dev_sel(m['s1'], modes_fn)[:, None]
+                cl1 = _dev_sel(m['clamp1'].astype(jnp.int32),
+                               modes_fn)[:, None]
+                p1 = (x1 + c1) >> s1
+                p1 = jnp.where(cl1 != 0, jnp.clip(p1, 0, 255), p1)
+                x2 = jnp.einsum('nl,nlp->np', vf,
+                                W2s.astype(jnp.float32),
+                                preferred_element_type=jnp.float32,
+                                precision=transforms.EXACT
+                                ).astype(jnp.int32)
+                B2s = _sel_w_split(modes_fn, m['B2'].astype(jnp.int32)
+                                   [:, None, :])[:, 0, :]
+                p2 = (x2 + B2s * p1 + 32) >> 6
+                return jnp.clip(p2, 0, 255)
+
+            def derived_cost(modes_b, tag):
+                mf = modes_b.astype(jnp.int32).reshape(-1)
+                c = (eval_rd(pred_modes(vcb, mf), ob, ls, bd, lam_dq, lv,
+                             lgc, lam)
+                     + eval_rd(pred_modes(vcr, mf), orr, ls, bd, lam_dq,
+                               lv, lgc, lam))
+                out[(tag, cs)] = c.reshape(F, N)
+
+            if cs in dmodes:
+                derived_cost(dmodes[cs], 'd')
+            if cs == 4 and scipu:
+                derived_cost(scipu_modes, 'sc')
+            if cclm:
+                lx = jnp.asarray(2 * xs)
+                ly = jnp.asarray(2 * ys)
+                bfl = jnp.repeat(jnp.arange(F, dtype=jnp.int32), N)
+                lxB = jnp.tile(lx, F)
+                lyB = jnp.tile(ly, F)
+                own = py.reshape(F, (H // 2) // cs, 2 * cs, n_bw, 2 * cs) \
+                    .transpose(0, 1, 3, 2, 4).reshape(F * N, 2 * cs,
+                                                      2 * cs)
+                TS, LS, LC = intra_pred.cclm_strips(
+                    py.reshape(F, -1), lxB, lyB, cs, H, W, bfl)
+                ctb, clb = intra_pred.cclm_cstrips(
+                    pcb.reshape(F, -1), jnp.tile(jnp.asarray(xs), F),
+                    jnp.tile(jnp.asarray(ys), F), cs, H // 2, W // 2, bfl)
+                ctr, clr = intra_pred.cclm_cstrips(
+                    pcr.reshape(F, -1), jnp.tile(jnp.asarray(xs), F),
+                    jnp.tile(jnp.asarray(ys), F), cs, H // 2, W // 2, bfl)
+                mk6 = jnp.tile(jnp.asarray(masks), (3 * F, 1))
+                B1 = F * N
+
+                def bc3(a):
+                    return jnp.broadcast_to(a[None], (3,) + a.shape) \
+                        .reshape((3 * B1,) + a.shape[1:])
+
+                m3 = jnp.repeat(jnp.arange(81, 84, dtype=jnp.int32), B1)
+                cc = None
+                for comp, (ct_, cl_, oc) in enumerate(
+                        ((ctb, clb, ob), (ctr, clr, orr))):
+                    p3 = intra_pred.cclm_from_own(
+                        m3, bc3(own), bc3(LC), bc3(TS), bc3(LS),
+                        bc3(ct_), bc3(cl_), mk6, jnp.tile(lyB, 3),
+                        cs, 1 << log2_ctu)
+                    c3 = eval_rd(p3.reshape(3 * B1, -1),
+                                 jnp.broadcast_to(oc[None], (3,) + oc.shape
+                                                  ).reshape(3 * B1, -1),
+                                 ls, bd, lam_dq, lv, lgc, lam)
+                    cc = c3 if cc is None else cc + c3
+                cc = cc.reshape(3, F, N) + lam * cclm_bits[:, None, None]
+                pick = jnp.argmin(cc, axis=0)
+                best = jnp.min(cc, axis=0)
+                out[('cc', cs)] = (best, pick.astype(jnp.int8))
+        return out
+
+    return jax.jit(run)
+
+
+def _dev_sel(tab, idx):
+    """(M,) table select by (N,) idx via one-hot sum (values small)."""
+    hot = idx[:, None] == jnp.arange(tab.shape[0], dtype=jnp.int32)
+    return jnp.sum(jnp.where(hot, jnp.asarray(tab)[None, :], 0), axis=1)
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
     """Module-level fused luma stage-A jit, shared across search instances

@@ -68,8 +68,10 @@ def main():
     frames = frames_1080p(args.frames, W, H)
     enc = Encoder(cfg, search=WavefrontSearch(cfg))
 
+    # compile warm-up on the SAME content: the device-commit scan
+    # geometry (rank bucket, per-class caps) is content-dependent
     t0 = time.perf_counter()
-    enc.encode(frames[:1])                 # compile warm-up
+    enc.encode(frames)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
