@@ -50,6 +50,11 @@ class RateModelConfig:
     commit_rank_trellis: float = 1.0
     # stage-A angular full-RD candidates on top of PLANAR/DC
     stage_a_num_rd_cands: int = 4
+    # 1: stage-A full-RD evals rank with the TRELLIS quantizer (the
+    # reference's search quantizes with trellis=true everywhere,
+    # block_splitter.rs:146-185 -> quantizer.rs:519); 0: greedy (faster).
+    # The in-VMEM Pallas Viterbi makes the trellis affordable in stage A.
+    stage_a_trellis_rd: float = 0.0
     # mode-bits model
     non_planar_offset: float = 2.4951231
     non_planar_offset_dq: float = 2.6002965

@@ -493,19 +493,20 @@ class WavefrontSearch:
         arguments, so changing QP does NOT recompile."""
         cfg = self.cfg
         K = int(getattr(self.rm, 'stage_a_num_rd_cands', 4))
+        tr = bool(getattr(self.rm, 'stage_a_trellis_rd', 0.0))
         if self.mesh is not None and self.mesh.shape.get('row', 1) > 1:
             run = _fused_luma_sharded_builder(
                 cfg.width, cfg.height, cfg.log2_ctu_size, sizes, F, K,
-                self.mesh)
+                self.mesh, tr)
         else:
             run = _fused_luma_builder(cfg.width, cfg.height,
-                                      cfg.log2_ctu_size, sizes, F, K)
+                                      cfg.log2_ctu_size, sizes, F, K, tr)
         ls = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].ls)
               for s in sizes}
         bd = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].bd_shift)
               for s in sizes}
-        lam_dq = self.lam_dq_greedy
-        lv = self.lv_greedy
+        lam_dq = self.lam_dq_trellis if tr else self.lam_dq_greedy
+        lv = self.lv_trellis if tr else self.lv_greedy
         lam = np.float32(self.lam)
         mats = {s: intra_pred.mats_device_f32(s, 0) for s in sizes}
 
@@ -616,9 +617,10 @@ class WavefrontSearch:
         css = tuple(sorted(s // 2 for s in sizes if s >= 8))
         scipu = 4 in sizes and 8 in sizes
         Fp = int(dev_planes[0].shape[0])
+        tr = bool(getattr(self.rm, 'stage_a_trellis_rd', 0.0))
         run = _fused_chroma_builder(cfg.width, cfg.height,
                                     cfg.log2_ctu_size, css, Fp,
-                                    bool(cfg.cclm_enabled), scipu)
+                                    bool(cfg.cclm_enabled), scipu, tr)
 
         def padF(a):
             a = np.asarray(a, np.int32)
@@ -645,10 +647,11 @@ class WavefrontSearch:
         bits = np.float32([co + (i + cio) ** self.rm.cclm_pow
                            for i in range(3)])
         mats = {('c', cs): intra_pred.mats_device_f32(cs, 1) for cs in css}
+        lam_dq = self.lam_dq_trellis if tr else self.lam_dq_greedy
+        lv = self.lv_trellis if tr else self.lv_greedy
         res = run(dev_planes[0], dev_planes[1], dev_planes[2], dmodes,
-                  scipu_modes, ls_c, bd_c, jnp.asarray(self.lam_dq_greedy),
-                  jnp.asarray(self.lv_greedy), np.float32(self.lam), bits,
-                  mats)
+                  scipu_modes, ls_c, bd_c, jnp.asarray(lam_dq),
+                  jnp.asarray(lv), np.float32(self.lam), bits, mats)
         res = jax.tree_util.tree_map(np.asarray, res)
         for cs in css:
             if ('d', cs) in res:
@@ -1064,7 +1067,8 @@ def _sel_w_split(modes, Wm, bits=8):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_chroma_builder(W, H, log2_ctu, css, F, cclm, scipu):
+def _fused_chroma_builder(W, H, log2_ctu, css, F, cclm, scipu,
+                          trellis=False):
     """One jit for the whole chroma stage A on device: for every chroma
     size cs in `css`, derived-mode greedy RD cost per block (cb+cr) and —
     when cclm — the three CCLM candidates' costs, all from the ORIGINAL
@@ -1091,7 +1095,7 @@ def _fused_chroma_builder(W, H, log2_ctu, css, F, cclm, scipu):
     def eval_rd(pred, orig, ls, bd, lam_dq, lv, lgc, lam):
         ssd, rate = _rd_eval_inner(pred.reshape(-1, 1 << lgc, 1 << lgc),
                                    orig.reshape(-1, 1 << lgc, 1 << lgc),
-                                   ls, bd, lam_dq, lv, lgc)
+                                   ls, bd, lam_dq, lv, lgc, trellis)
         return ssd + lam * (rate / 16384.0)
 
     def run(py, pcb, pcr, dmodes, scipu_modes, ls_c, bd_c, lam_dq, lv,
@@ -1219,7 +1223,7 @@ def _dev_sel(tab, idx):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
+def _fused_luma_builder(W, H, log2_ctu, sizes, F, K, trellis=False):
     """Module-level fused luma stage-A jit, shared across search instances
     and QPs (geometry is baked in; QP-dependent values are arguments)."""
     consts = {}
@@ -1248,7 +1252,7 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
                 .transpose(0, 1, 3, 2, 4).reshape(-1, s * s)
             cands, cost = _stage_a_select(
                 pred, blocks, K, ls[s], bd[s], lam_dq, lv,
-                s.bit_length() - 1, lam)
+                s.bit_length() - 1, lam, trellis)
             N = src.shape[0]
             out[s] = (cands.reshape(F, N, -1), cost.reshape(F, N, -1))
         return out
@@ -1257,7 +1261,8 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_luma_sharded_builder(W, H, log2_ctu, sizes, F, K, mesh):
+def _fused_luma_sharded_builder(W, H, log2_ctu, sizes, F, K, mesh,
+                                trellis=False):
     """Row-band-sharded fused luma stage A over a (frame, row) mesh.
 
     The SAME cost model as the single-device path (substituted+filtered
@@ -1326,7 +1331,7 @@ def _fused_luma_sharded_builder(W, H, log2_ctu, sizes, F, K, mesh):
                 .transpose(0, 1, 3, 2, 4).reshape(-1, s * s)
             cands, cost = _stage_a_select(
                 pred, blocks, K, ls_a[si], bd_a[si], lam_dq, lv,
-                s.bit_length() - 1, lam)
+                s.bit_length() - 1, lam, trellis)
             nb = src0.shape[0]
             out.append(cands.reshape(F_loc, nb, -1))
             out.append(cost.reshape(F_loc, nb, -1))
@@ -1352,13 +1357,16 @@ def _fused_luma_sharded_builder(W, H, log2_ctu, sizes, F, K, mesh):
     return run
 
 
-@functools.partial(jax.jit, static_argnums=(2, 7))
+@functools.partial(jax.jit, static_argnums=(2, 7, 9))
 def _stage_a_select(pred, orig, num_cands, ls, bd_shift, lam_dq, lv,
-                    log2, lam):
+                    log2, lam, trellis=False):
     """pred (N,67,WH), orig (N,WH) -> (cands (N,K+2), cost (N,K+2)).
 
     Cost is ssd + lam*rate WITHOUT mode bits — the host applies the exact
-    (MPM-dependent) mode-bit term and picks the winner."""
+    (MPM-dependent) mode-bit term and picks the winner. trellis=True
+    ranks with the trellis quantizer (the reference's search discipline,
+    quantizer.rs:519 with trellis=true) — pass the trellis lam_dq/lv
+    tables with it."""
     sad = jnp.abs(pred - orig[:, None, :]).sum(-1)           # (N,67)
     ang = sad[:, 2:]
     _, top = jax.lax.top_k(-ang, num_cands)                  # (N,K)
@@ -1371,7 +1379,8 @@ def _stage_a_select(pred, orig, num_cands, ls, bd_shift, lam_dq, lv,
     p = jnp.take_along_axis(pred, cands[:, :, None], axis=1)  # (N,K,WH)
     p = p.reshape(-1, s, s)
     o = jnp.repeat(orig[:, None, :], K, axis=1).reshape(-1, s, s)
-    ssd, rate = _rd_eval_inner(p, o, ls, bd_shift, lam_dq, lv, log2)
+    ssd, rate = _rd_eval_inner(p, o, ls, bd_shift, lam_dq, lv, log2,
+                               trellis)
     cost = ssd.reshape(-1, K) + lam * (rate.reshape(-1, K) / 16384.0)
     return cands.astype(jnp.int8), cost                # int8 on the wire
 
@@ -1381,11 +1390,18 @@ def _rd_eval(pred, orig, ls, bd_shift, lam_dq, lv, log2):
     return _rd_eval_inner(pred, orig, ls, bd_shift, lam_dq, lv, log2)
 
 
-def _rd_eval_inner(pred, orig, ls, bd_shift, lam_dq, lv, log2):
-    """pred/orig (B,s,s) -> (ssd (B,) f32, rate (B,) f32)."""
+def _rd_eval_inner(pred, orig, ls, bd_shift, lam_dq, lv, log2,
+                   trellis=False):
+    """pred/orig (B,s,s) -> (ssd (B,) f32, rate (B,) f32). trellis=True
+    quantizes with the exact Viterbi (pass trellis-variant tables)."""
     res = orig.astype(jnp.int32) - pred.astype(jnp.int32)
     t = transforms._forward(res)
-    q, rate = kq.greedy_depquant(t, ls, bd_shift, lam_dq, log2, lv)
+    if trellis:
+        from ..kernels import trellis_pallas
+        q, rate = trellis_pallas.trellis_rate_auto(t, ls, bd_shift,
+                                                   lam_dq, lv, log2)
+    else:
+        q, rate = kq.greedy_depquant(t, ls, bd_shift, lam_dq, log2, lv)
     d = kq.dequantize(q, ls, bd_shift)
     r = transforms._inverse(d)
     rec = jnp.clip(pred + r, 0, 255)

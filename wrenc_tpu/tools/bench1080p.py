@@ -86,6 +86,7 @@ def main():
                        for i in range(len(frames)) for c in range(3))
         assert verified, "1080p conformance round trip FAILED"
 
+    from .metrics import mfu_estimate
     rec = {
         "resolution": f"{W}x{H}",
         "frames": len(frames),
@@ -95,6 +96,11 @@ def main():
         "encode_s": round(dt, 3),
         "first_compile_s": round(compile_s, 3),
         "bytes": len(stream),
+        "mfu": round(mfu_estimate(W, H, len(frames), dt), 6),
+        "mfu_note": ("logical device MACs (metrics.device_mac_estimate: "
+                     "stage-A sweeps exact, commit approximated as one "
+                     "more sweep) / (encode wall x v5e 98.5e12 MAC/s "
+                     "bf16 peak)"),
         "phases_s": {k: round(v, 3)
                      for k, v in getattr(enc, "phase_times", {}).items()},
         "conformance_roundtrip": verified,

@@ -1,6 +1,47 @@
 """PSNR / SSIM / BD-rate metrics (evaluation-harness parity with
-tools/evaluation in the reference: evaluate_mp.py, calculate_bd_rate_*)."""
+tools/evaluation in the reference: evaluate_mp.py, calculate_bd_rate_*),
+plus the MFU estimate the perf results record."""
 import numpy as np
+
+# TPU v5e peak: ~197 bf16 TFLOP/s = 98.5e12 MAC/s per chip
+V5E_PEAK_MACS = 98.5e12
+
+
+def device_mac_estimate(W, H, frames, max_depth=3, K=6, n_cand=8,
+                        cclm=True):
+    """Logical multiply-accumulate count of the device compute per
+    encode — a documented ESTIMATE for the MFU figure. Exact for the
+    stage-A sweeps; the commit re-ranking is approximated as one more
+    stage-A-shaped pass (one 67-mode sweep + n_cand RD evals per
+    aligned block of every size):
+
+    - stage A luma, per size s: N blocks x (two 67-mode matmuls of
+      2L x s^2 each + (K+2) RD evals of ~4 s^3 transform MACs)
+    - chroma stage A, per cs: derived (2 comps) + 3 CCLM candidates
+    - commit: the same sweep shape with K+2 -> n_cand.
+    """
+    total = 0.0
+    for d in range(max_depth + 1):
+        s = 32 >> d
+        N = (W // s) * (H // s) * frames
+        L2 = 2 * (4 * s + 1)
+        sweep = 2 * L2 * 67 * s * s
+        total += N * (sweep + (K + 2) * 4 * s ** 3)      # stage A
+        total += N * (sweep + n_cand * 4 * s ** 3)       # commit approx
+        if s >= 8:
+            cs = s // 2
+            Nc = (W // 2 // cs) * (H // 2 // cs) * frames
+            Lc2 = 2 * (4 * cs + 1)
+            total += Nc * 2 * (2 * Lc2 * cs * cs + 4 * cs ** 3)
+            if cclm:
+                total += Nc * 6 * 4 * cs ** 3
+    return total
+
+
+def mfu_estimate(W, H, frames, encode_s, **kw):
+    """MFU over encode wall time against the v5e bf16 peak."""
+    macs = device_mac_estimate(W, H, frames, **kw)
+    return float(macs / (encode_s * V5E_PEAK_MACS))
 
 
 def psnr(a, b, peak=255.0):
