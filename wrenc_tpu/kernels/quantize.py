@@ -57,58 +57,37 @@ def _sel_map(h, g):
 
 
 def _lut1024_i32(table, idx):
-    """Exact lookup from a (1024,) nonnegative int32 table (may be a
-    traced argument — QP tables stay runtime values) via 32x32 one-hot
-    MXU contractions over 8-bit pieces. idx int32 in [0, 1023] (caller
-    clips). Returns idx.shape int32.
+    """Exact lookup from a (1024,) int32 table with values < 2^24 (the
+    rate tables assert this; f32 then represents every entry exactly)
+    via a 32x32 one-hot MXU contraction. The table may be a traced
+    argument — QP tables stay runtime values. idx int32 in [0, 1023]
+    (caller clips). Returns idx.shape int32.
 
-    Exactness without the 6-pass HIGHEST tax: one-hot rows select a
-    single element per output, the 8-bit pieces (< 256) and the 0/1
-    one-hot weights are both exactly representable in bf16, and the f32
-    accumulation sums one nonzero term — so a single-pass bf16 matmul is
-    bit-exact here and ~6x cheaper than the former 12-bit/HIGHEST split."""
-    t = jnp.asarray(table, jnp.int32)
-    sh = idx.shape
-    i = idx.reshape(-1)
-    oh_hi = (jnp.arange(32, dtype=jnp.int32)
-             == (i[:, None] >> 5)).astype(jnp.bfloat16)        # (N, 32)
-    oh_lo = jnp.arange(32, dtype=jnp.int32) == (i[:, None] & 31)
-    out = jnp.zeros(i.shape, jnp.int32)
-    for s in (0, 8, 16, 24):
-        p = ((t >> s) & 0xFF).astype(jnp.bfloat16).reshape(32, 32)
-        rows = jnp.einsum('nh,hl->nl', oh_hi, p,
-                          preferred_element_type=jnp.float32)  # (N, 32)
-        v = jnp.sum(jnp.where(oh_lo, rows, 0), axis=-1).astype(jnp.int32)
-        out = out + (v << s)
-    return out.reshape(sh)
+    Exactness: one-hot rows select a single element per output and
+    HIGHEST precision computes true-f32 products/sums, so the selected
+    (< 2^24) value survives bit-exactly."""
+    return _lut1024_i32_multi((table,), idx)[0]
 
 
 def _lut1024_i32_multi(tables, idx):
-    """Exact lookups of SEVERAL (1024,) int32 tables at the same indices
-    with ONE one-hot MXU contraction (see _lut1024_i32 for the exactness
-    argument). tables: sequence of (1024,) int32; idx int32 in [0, 1023].
-    Returns a list of idx.shape int32 arrays, one per table."""
+    """Exact lookups of SEVERAL (1024,) int32 tables (values < 2^24) at
+    the same indices with ONE one-hot MXU contraction (see _lut1024_i32
+    for the exactness argument). Returns a list of idx.shape int32
+    arrays, one per table."""
     sh = idx.shape
     i = idx.reshape(-1)
     T = len(tables)
     oh_hi = (jnp.arange(32, dtype=jnp.int32)
-             == (i[:, None] >> 5)).astype(jnp.bfloat16)        # (N, 32)
+             == (i[:, None] >> 5)).astype(jnp.float32)         # (N, 32)
     oh_lo = jnp.arange(32, dtype=jnp.int32) == (i[:, None] & 31)
-    pieces = []
-    for t in tables:
-        t32 = jnp.asarray(t, jnp.int32).reshape(32, 32)
-        pieces.append(jnp.stack(
-            [((t32 >> s) & 0xFF).astype(jnp.bfloat16)
-             for s in (0, 8, 16, 24)], axis=-1))               # (32,32,4)
-    P = jnp.stack(pieces, axis=2).reshape(32, 32 * T * 4)      # (32,32,T,4)
-    rows = jnp.einsum('nh,hm->nm', oh_hi, P,
-                      preferred_element_type=jnp.float32)      # (N, 32*T*4)
-    rows = rows.reshape(-1, 32, T, 4)
-    sel = jnp.sum(jnp.where(oh_lo[:, :, None, None], rows, 0),
-                  axis=1).astype(jnp.int32)                    # (N, T, 4)
-    shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)
-    out = jnp.sum(sel << shifts[None, None, :], axis=-1)       # (N, T)
-    return [out[:, t].reshape(sh) for t in range(T)]
+    P = jnp.stack([jnp.asarray(t, jnp.int32).astype(jnp.float32)
+                   .reshape(32, 32) for t in tables], axis=-1)  # (32,32,T)
+    rows = jnp.einsum('nh,hlt->nlt', oh_hi, P,
+                      preferred_element_type=jnp.float32,
+                      precision=EXACT)                         # (N, 32, T)
+    sel = jnp.sum(jnp.where(oh_lo[:, :, None], rows, 0),
+                  axis=1).astype(jnp.int32)                    # (N, T)
+    return [sel[:, t].reshape(sh) for t in range(T)]
 
 
 @functools.lru_cache(maxsize=None)
@@ -122,7 +101,9 @@ def coding_order(log2_n):
 
 def lam_dq_table(rate_model, qp, trellis):
     """Exact int32 table lam_q * dq_rate_table (the quantizer cost model's
-    rate term, quantizer.rs:29 with integer lambda)."""
+    rate term, quantizer.rs:29 with integer lambda). Values must stay
+    below 2^24 (asserted): the device LUT then reads them exactly from a
+    single f32 piece."""
     i = np.arange(1024, dtype=np.float64)
     dq = ((i * 16384.0) ** rate_model.quant_lv_pow).astype(np.int64)
     qp_div = rate_model.quant_qp_div_trellis if trellis else rate_model.quant_qp_div
@@ -130,11 +111,15 @@ def lam_dq_table(rate_model, qp, trellis):
     off = (rate_model.quant_lambda_offset_trellis if trellis
            else rate_model.quant_lambda_offset)
     lam = int(2.0 ** (qp / qp_div) * mul) + off
-    return (lam * dq).astype(np.int32)
+    out = lam * dq
+    assert 0 <= out.min() and out.max() < (1 << 24), \
+        "lam_dq values exceed the f32-exact LUT range"
+    return out.astype(np.int32)
 
 
 def lv_table_device(rate_model, dep_quant, trellis):
-    """RD level-rate table (block_splitter.rs:45-53) as f32 device array."""
+    """RD level-rate table (block_splitter.rs:45-53) as f32 device array.
+    Values stay below 2^24 (asserted): f32-exact, single-piece LUT."""
     i = np.arange(1024, dtype=np.float64)
     if not dep_quant:
         p, off = rate_model.lv_pow, rate_model.lv_offset
@@ -142,7 +127,10 @@ def lv_table_device(rate_model, dep_quant, trellis):
         p, off = rate_model.lv_pow_dq_trellis, rate_model.lv_offset_dq_trellis
     else:
         p, off = rate_model.lv_pow_dq, rate_model.lv_offset_dq
-    return ((i + off) ** p * 16384.0).astype(np.int64).astype(np.float32)
+    out = ((i + off) ** p * 16384.0).astype(np.int64)
+    assert 0 <= out.min() and out.max() < (1 << 24), \
+        "lv values exceed the f32-exact LUT range"
+    return out.astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnums=(4,))

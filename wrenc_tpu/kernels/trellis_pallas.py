@@ -224,13 +224,31 @@ def trellis_rate_impl(t, ls, bd_shift, lam_dq, lv_table, log2_n):
     mag4 = jnp.where(a4 == 0, 0, 2 * a4 - dlt)
     dq4 = (mag4 * lsr + bdo) >> bdr
     dist4 = jnp.abs(atc - dq4)
-    # both rate tables in ONE MXU LUT pass: lam_dq is consumed at a+1, so
-    # shift it by one slot (clip at 1023 preserved by repeating the top)
+    # compact-grid rate lookups (see trellis_rate_batch): one LUT at
+    # m0 = base//2 over index-shifted tables answers all four candidates
     ldq = jnp.asarray(lam_dq)
     ldq1 = jnp.concatenate([ldq[1:], ldq[-1:]])
-    rate4, lv4 = kq._lut1024_i32_multi(
-        (ldq1, jnp.asarray(lv_table).astype(jnp.int32)),
-        jnp.clip(a4, 0, 1023))
+    lvi = jnp.asarray(lv_table).astype(jnp.int32)
+
+    def shtab(t, j):
+        return jnp.concatenate([t[j:], jnp.repeat(t[-1:], j)]) if j else t
+
+    m0 = jnp.where(zero[0, 0], 0, (base // 2)[0, 0])      # (1, B)? no (P,B)
+    m0 = m0.reshape(-1)
+    idx = jnp.clip(m0, 0, 1023)
+    r0, r1, r2, l0, l1, l2 = kq._lut1024_i32_multi(
+        (ldq1, shtab(ldq1, 1), shtab(ldq1, 2),
+         lvi, shtab(lvi, 1), shtab(lvi, 2)), idx)
+    PB = a4.shape[2] * a4.shape[3]
+
+    def ex(v):
+        return v.reshape(a4.shape[2], a4.shape[3])[None, None]
+
+    off0 = a4 - ex(m0)
+    rate4 = jnp.where(off0 == 0, ex(r0),
+                      jnp.where(off0 == 1, ex(r1), ex(r2)))
+    lv4 = jnp.where(off0 == 0, ex(l0), jnp.where(off0 == 1, ex(l1),
+                                                 ex(l2)))
     c4 = jnp.minimum(128 * dist4 + rate4, BIG)
     c4 = jnp.where(zero & (kk == 1), BIG, c4)             # zeros: one option
     sa4 = jnp.where(tc < 0, -a4, a4)
@@ -259,7 +277,23 @@ def trellis_rate(t, ls, bd_shift, lam_dq, lv_table, log2_n):
     return trellis_rate_impl(t, ls, bd_shift, lam_dq, lv_table, log2_n)
 
 
-def trellis_rate_batch(jobs, lam_dq, lv_table):
+def build_rate_tabs(lam_dq, lv_table):
+    """Index-shifted rate tables for the compact-grid LUT, built ONCE
+    per scan invocation (callers inside a lax.scan body must hoist these
+    — rebuilt per step they add ~20 small kernels to every rank step)."""
+    ldq = jnp.asarray(lam_dq)
+    ldq1 = jnp.concatenate([ldq[1:], ldq[-1:]])
+    lvi = jnp.asarray(lv_table).astype(jnp.int32)
+
+    def shtab(t, j):
+        return jnp.concatenate([t[j:], jnp.repeat(t[-1:], j)]) if j else t
+
+    scal = jnp.stack([ldq[1], lvi[0]])
+    return ((ldq1, shtab(ldq1, 1), shtab(ldq1, 2),
+             lvi, shtab(lvi, 1), shtab(lvi, 2)), scal)
+
+
+def trellis_rate_batch(jobs, lam_dq, lv_table, tabs=None):
     """Batched variant for several block sizes at once: jobs is a list of
     (t (B, n, n) int32, ls, bd_shift, log2_n). The per-position edge
     ingredients are elementwise over flattened (position, block) pairs,
@@ -299,16 +333,24 @@ def trellis_rate_batch(jobs, lam_dq, lv_table):
     mag4 = jnp.where(a4 == 0, 0, 2 * a4 - dlt)
     dq4 = (mag4 * lsr + bdo) >> bdr
     dist4 = jnp.abs(atc - dq4)
-    ldq = jnp.asarray(lam_dq)
-    ldq1 = jnp.concatenate([ldq[1:], ldq[-1:]])
-    rate4, lv4 = kq._lut1024_i32_multi(
-        (ldq1, jnp.asarray(lv_table).astype(jnp.int32)),
-        jnp.clip(a4, 0, 1023))
+    # rate lookups on the COMPACT base-index grid: the four (delta, k)
+    # level candidates all lie in {m0, m0+1, m0+2} with m0 = base//2, so
+    # one multi-table LUT at m0 over index-shifted tables answers all of
+    # them at 1/4 the one-hot volume (the LUT traffic dominated the
+    # 1080p step profile)
+    if tabs is None:
+        tabs = build_rate_tabs(lam_dq, lv_table)
+    (t6, scal) = tabs
+    m0 = jnp.where(zero[0, 0], 0, (base // 2)[0, 0])      # (N,)
+    idx = jnp.clip(m0, 0, 1023)
+    r0, r1, r2, l0, l1, l2 = kq._lut1024_i32_multi(t6, idx)
+    off0 = a4 - m0[None, None, :]                          # in {0, 1, 2}
+    rate4 = jnp.where(off0 == 0, r0,
+                      jnp.where(off0 == 1, r1, r2))
+    lv4 = jnp.where(off0 == 0, l0, jnp.where(off0 == 1, l1, l2))
     c4 = jnp.minimum(128 * dist4 + rate4, BIG)
     c4 = jnp.where(zero & (kk == 1), BIG, c4)
     sa4 = jnp.where(tc < 0, -a4, a4)
-    scal = jnp.stack([ldq[1],
-                      jnp.asarray(lv_table).astype(jnp.int32)[0]])
 
     c4f = c4.reshape(4, -1)
     sa4f = sa4.reshape(4, -1)

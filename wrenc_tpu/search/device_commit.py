@@ -379,7 +379,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                         + u[:, jnp.asarray(ni)] + 2) >> 2)
         return jnp.concatenate([u, uf], axis=1)
 
-    def tq_all(A, lam_dq, lv):
+    def tq_all(A, lam_dq, lv, tabs):
         """tq_merged across ALL block sizes of one wave with a single
         shared trellis edge-precompute pass (trellis_rate_batch): the
         per-position tables are elementwise over flattened positions, so
@@ -402,7 +402,8 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
             t = transforms.forward_impl(res)
             staged.append((lg, pred, orig, ls_r, bd_r, jobs))
             tr_jobs.append((t, ls_r, bd_r, lg))
-        tr_out = trellis_pallas.trellis_rate_batch(tr_jobs, lam_dq, lv)
+        tr_out = trellis_pallas.trellis_rate_batch(tr_jobs, lam_dq, lv,
+                                                   tabs)
         res_map = {}
         for (lg, pred, orig, ls_r, bd_r, jobs), (q, level) in zip(
                 staged, tr_out):
@@ -429,6 +430,9 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
         ocb = ocb.astype(jnp.int32)
         ocr = ocr.astype(jnp.int32)
         (ry0, rcb0, rcr0, mm0, cy0, ccb0, ccr0) = carry_in
+        # hoisted loop-invariant rate tables (XLA does not LICM these out
+        # of the scan body reliably)
+        rate_tabs = trellis_pallas.build_rate_tabs(lam_dq, lv)
 
         def step(carry, xt):
             ry, rcb, rcr, mm = carry
@@ -519,7 +523,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                             d['cb'] = push(A, 2, pcb, d['ocb'], ls_c, bd_c)
                             d['cr'] = push(A, 2, pcr, d['ocr'], ls_c, bd_c)
                 pre[ck] = d
-            resA = tq_all(A, lam_dq, lv)
+            resA = tq_all(A, lam_dq, lv, rate_tabs)
 
             def got(res, tag):
                 lg, i = tag
@@ -729,7 +733,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                                     ls_tab[1, lgc - 2], bd_tab[1, lgc - 2])
                     d['ccr'] = push(Bj, lgc, pr, d['ocr'],
                                     ls_tab[1, lgc - 2], bd_tab[1, lgc - 2])
-            resB = tq_all(Bj, lam_dq, lv)
+            resB = tq_all(Bj, lam_dq, lv, rate_tabs)
 
             # ---- phase 4: CCLM-vs-derived decision + chroma scatters
             for ck in classes:

@@ -81,7 +81,8 @@ def frame_ssim_avg(ref, rec):
     return out
 
 
-def run_point(frames, qp, max_split_depth, verify=True):
+def run_point(frames, qp, max_split_depth, verify=True, extra=None,
+              engine=None):
     """Encode one RD point; return (bytes, psnr_summary, ssim_summary,
     duration_s)."""
     from ..core.config import EncoderConfig
@@ -91,7 +92,9 @@ def run_point(frames, qp, max_split_depth, verify=True):
     h, w = frames[0][0].shape
     cfg = EncoderConfig(width=w, height=h, qp=qp,
                         max_split_depth=max_split_depth)
-    enc = Encoder(cfg, search=WavefrontSearch(cfg))
+    if extra:
+        cfg.rate_model.apply_extra_params(extra)
+    enc = Encoder(cfg, search=WavefrontSearch(cfg, commit_engine=engine))
     t0 = time.perf_counter()
     stream, recons = enc.encode(frames)
     dt = time.perf_counter() - t0
@@ -127,8 +130,16 @@ def main(argv=None):
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--per-frame", action="store_true",
                     help="include per-frame metrics in summary.json")
+    ap.add_argument("--extra-params", default=None,
+                    help="rate-model overrides KEY=VAL,... (the "
+                         "reference's --extra-params escape hatch)")
+    ap.add_argument("--engine", default=None,
+                    help="commit engine: native|device (default: "
+                         "WRENC_COMMIT_ENGINE or native)")
     args = ap.parse_args(argv)
 
+    extra = (dict(kv.split("=") for kv in args.extra_params.split(","))
+             if args.extra_params else None)
     qps = [int(q) for q in args.qps.split(",")]
     videos = args.videos.split(",")
 
@@ -145,13 +156,14 @@ def main(argv=None):
             # point's duration measures encoding, not compilation (use a
             # full chunk so the warmed geometry matches the timed runs)
             run_point(frames[:8], qps[0], args.max_split_depth,
-                      verify=False)
+                      verify=False, extra=extra, engine=args.engine)
             warmed = True
         vres = []
         for qp in qps:
             nbytes, psum, ssum, dt, ps, ss = run_point(
                 frames, qp, args.max_split_depth,
-                verify=not args.no_verify)
+                verify=not args.no_verify, extra=extra,
+                engine=args.engine)
             rec = {
                 "title": f"{os.path.splitext(video)[0]}"
                          f"[wrenc_tpu@max_split_depth="
