@@ -90,6 +90,19 @@ def main(argv=None):
     deltas = [abs(p["size_delta_pct"]) for p in report["points"]]
     report["all_byte_identical"] = all(ident)
     report["max_abs_size_delta_pct"] = max(deltas) if deltas else 0.0
+    # BD-rate of the device curve vs the native curve per clip (the
+    # equivalence gate: |delta| < 0.02%)
+    from .metrics import bd_rate
+    report["bd_device_vs_native"] = {}
+    for clip in args.clips.split(","):
+        pts = [p for p in report["points"] if p["clip"] == clip]
+        if len(pts) < 3:
+            continue
+        ratio = bd_rate([p["device"]["bytes"] for p in pts],
+                        [p["device"]["psnr"] for p in pts],
+                        [p["native"]["bytes"] for p in pts],
+                        [p["native"]["psnr"] for p in pts])
+        report["bd_device_vs_native"][clip] = ratio
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
