@@ -59,7 +59,8 @@ def test_device_rd_commit_matches_native(w, h, qp, seeds):
     cfg = EncoderConfig(width=w, height=h, qp=qp)
     frames = [synth_frame(w, h, seed=s) for s in seeds]
 
-    ws_n = WavefrontSearch(cfg, commit_engine='native')
+    ws_n = WavefrontSearch(cfg, commit_engine='native',
+                           chroma_stage_a='native')
     ws_n._refine_margin = 0.0           # compare refine-free vs refine-free
     out_n = ws_n.encode_frames(frames)
     modes_n = [[(cu.x, cu.y, cu.tree, cu.luma_mode, cu.chroma_mode)

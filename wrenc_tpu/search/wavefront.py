@@ -95,12 +95,15 @@ class WavefrontSearch:
             and getattr(self.rm, 'commit_chroma_redecide', 0))
         self._device_commit = bool(use_device)
         # chroma stage A engine: 'device' = the fused on-device jit
-        # (default for the device pipeline), 'native' = the host C++
-        # call (the f64-combine reference; tests pin this to compare
-        # engines from identical trees)
+        # (default for BOTH pipelines since round 5 — VERDICT r4 #6: the
+        # builder only needs the stage-A trees, not the device commit),
+        # 'native' = the host C++ call (the f64-combine reference; tests
+        # pin one engine to compare from identical trees). The device
+        # path needs device-resident planes; the sharded-mesh stage A
+        # does not build them, so it falls back to native (see the
+        # dev_planes guard at the _prefill call site).
         self._chroma_device = (chroma_stage_a or os.environ.get(
-            'WRENC_CHROMA_STAGE_A',
-            'device' if self._device_commit else 'native')) == 'device'
+            'WRENC_CHROMA_STAGE_A', 'device')) == 'device'
         self._refine_margin = self.rm.split_refine_margin
 
     # ------------------------------------------------------------- stage A
@@ -279,9 +282,10 @@ class WavefrontSearch:
                 planes_y, NamedSharding(self.mesh, P('frame', row, None)))
         else:
             dev = jnp.asarray(planes_y)
-            if self._device_commit:
-                # device-resident planes shared with the commit scan: one
-                # upload per chunk serves both stage A and the commit
+            if self._device_commit or self._chroma_device:
+                # device-resident planes shared by stage A, the fused
+                # chroma stage A and (device engine) the commit scan:
+                # one upload per chunk serves all of them
                 cfg = self.cfg
                 cb = np.stack([b[1] for b in padded]).astype(np.uint8)
                 cr = np.stack([b[2] for b in padded]).astype(np.uint8)
