@@ -94,16 +94,28 @@ class WavefrontSearch:
             and getattr(self.rm, 'commit_rank_trellis', 0)
             and getattr(self.rm, 'commit_chroma_redecide', 0))
         self._device_commit = bool(use_device)
-        # chroma stage A engine: 'device' = the fused on-device jit
-        # (default for BOTH pipelines since round 5 — VERDICT r4 #6: the
-        # builder only needs the stage-A trees, not the device commit),
+        # chroma stage A engine: 'device' = the fused on-device jit,
         # 'native' = the host C++ call (the f64-combine reference; tests
-        # pin one engine to compare from identical trees). The device
-        # path needs device-resident planes; the sharded-mesh stage A
-        # does not build them, so it falls back to native (see the
-        # dev_planes guard at the _prefill call site).
+        # pin one engine to compare from identical trees). Default is
+        # resolution-dependent (round 5, VERDICT r4 #6): the device path
+        # pays ~0.2-0.4 s/chunk of axon-tunnel round-trip latency, which
+        # swamps the tiny CIF host chroma (0.25 s vs 0.75 s measured for
+        # 16 frames) but wins at 1080p+, where the host C++ chroma
+        # (1.5 s/4-frame chunk) competes with the commit worker for the
+        # 2-core host. The device commit engine always uses it (planes
+        # already resident). The sharded-mesh stage A does not build
+        # dev_planes, so it falls back to native (see the dev_planes
+        # guard at the _prefill call site).
+        auto_chroma = ('device' if (self._device_commit or
+                                    cfg.width * cfg.height >= 1 << 19)
+                       else 'native')
         self._chroma_device = (chroma_stage_a or os.environ.get(
-            'WRENC_CHROMA_STAGE_A', 'device')) == 'device'
+            'WRENC_CHROMA_STAGE_A', auto_chroma)) == 'device'
+        # luma winner selection (MPM Jacobi + ranking) on device: cuts
+        # the stage-A download 40% and removes host_select; 'host' keeps
+        # the f64-combining numpy path (the sharded mesh always uses it)
+        self._select_device = os.environ.get(
+            'WRENC_STAGE_A_SELECT', 'device') == 'device'
         self._refine_margin = self.rm.split_refine_margin
 
     # ------------------------------------------------------------- stage A
@@ -324,10 +336,17 @@ class WavefrontSearch:
         t0 = _time.perf_counter()
         luma_cand_cost_b = {}
         for s in sizes:
-            cands, base = res[s]
-            (luma_mode_b[s], luma_cost_b[s], luma_cands_b[s],
-             luma_cand_cost_b[s]) = self._select_modes(s, cands[:F],
-                                                       base[:F])
+            if len(res[s]) == 3:           # device-side winner selection
+                rk, cost, c2 = res[s]
+                luma_mode_b[s] = rk[:F, :, 0].astype(np.int64)
+                luma_cost_b[s] = cost[:F]
+                luma_cands_b[s] = rk[:F].astype(np.int32)
+                luma_cand_cost_b[s] = c2[:F]
+            else:
+                cands, base = res[s]
+                (luma_mode_b[s], luma_cost_b[s], luma_cands_b[s],
+                 luma_cand_cost_b[s]) = self._select_modes(s, cands[:F],
+                                                           base[:F])
         self._phase('host_select', _time.perf_counter() - t0)
         t0 = _time.perf_counter()
         chroma_cache = {}
@@ -482,9 +501,18 @@ class WavefrontSearch:
                 refine[s] = (np.abs(agg - leaf)
                              <= margin * np.maximum(np.abs(leaf), 1.0))
             cost = np.where(split_here, agg, leaf)
-        self.split = split
-        self.refine = refine
-        self.luma_mode = luma_mode
+        # plain Python lists for the tree walk: _build_node touches these
+        # ~4.6k times per frame, and per-element numpy scalar indexing +
+        # bool()/int() conversions were ~half of host_decide (profiled);
+        # one bulk .tolist() per array is a single C pass
+        self.split = {s: m.tolist() for s, m in split.items()}
+        self.refine = {s: m.tolist() for s, m in refine.items()}
+        self.luma_mode = {s: np.asarray(m).tolist()
+                          for s, m in luma_mode.items()}
+        self.cclm_choice = {s: np.asarray(c).tolist()
+                            for s, c in self.cclm_choice.items()}
+        if self.scipu_choice is not None:
+            self.scipu_choice = np.asarray(self.scipu_choice).tolist()
         return self._assemble_trees()
 
     def _fused_luma(self, F, sizes):
@@ -498,13 +526,16 @@ class WavefrontSearch:
         cfg = self.cfg
         K = int(getattr(self.rm, 'stage_a_num_rd_cands', 4))
         tr = bool(getattr(self.rm, 'stage_a_trellis_rd', 0.0))
+        sel = self._select_device
         if self.mesh is not None and self.mesh.shape.get('row', 1) > 1:
             run = _fused_luma_sharded_builder(
                 cfg.width, cfg.height, cfg.log2_ctu_size, sizes, F, K,
                 self.mesh, tr)
+            sel = False
         else:
             run = _fused_luma_builder(cfg.width, cfg.height,
-                                      cfg.log2_ctu_size, sizes, F, K, tr)
+                                      cfg.log2_ctu_size, sizes, F, K, tr,
+                                      sel)
         ls = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].ls)
               for s in sizes}
         bd = {s: np.int32(self.qpar[(0, s.bit_length() - 1)].bd_shift)
@@ -513,8 +544,17 @@ class WavefrontSearch:
         lv = self.lv_trellis if tr else self.lv_greedy
         lam = np.float32(self.lam)
         mats = {s: intra_pred.mats_device_f32(s, 0) for s in sizes}
+        seltabs = None
+        if sel:
+            po, idx_bits, rem_bits = _mpm_scalar_tabs(
+                self.rm, cfg.dep_quant_enabled)
+            seltabs = (np.float32(self.lam * self.mode_bits_scale),
+                       np.asarray(self._mode_bits, np.float32), po,
+                       idx_bits, rem_bits)
 
         def call(planes):
+            if sel:
+                return run(planes, ls, bd, lam_dq, lv, lam, mats, seltabs)
             return run(planes, ls, bd, lam_dq, lv, lam, mats)
 
         return call
@@ -814,9 +854,9 @@ class WavefrontSearch:
         node = CtNode(x, y, log2, cqt_depth, tree, mode_type)
         min_log2 = self.cfg.log2_ctu_size - self.cfg.max_split_depth
         do_split = (log2 > min_log2
-                    and bool(self.split[s][y // s, x // s]))
+                    and bool(self.split[s][y // s][x // s]))
         do_refine = (tree == 'S' and log2 > min_log2 and s in self.refine
-                     and bool(self.refine[s][y // s, x // s]))
+                     and bool(self.refine[s][y // s][x // s]))
         if do_refine:
             node.refine = True
             node.alt_cu = self._make_leaf_cu(x, y, log2, tree, s)
@@ -1226,23 +1266,120 @@ def _dev_sel(tab, idx):
     return jnp.sum(jnp.where(hot, jnp.asarray(tab)[None, :], 0), axis=1)
 
 
+def _mpm_list_dev(l, a):
+    """jnp replica of entropy.syntax.derive_mpm_list over (N,) int32
+    vectors (spec 8.4.2; ctu.rs:1530-1601). Pure integer logic — agrees
+    with the scalar host function for every (l, a) pair (unit-tested)."""
+    mn, mx = jnp.minimum(l, a), jnp.maximum(l, a)
+    d = mx - mn
+
+    def m64(x, k):
+        return 2 + (x + k) % 64
+
+    st = lambda *cols: jnp.stack(cols, axis=-1)
+    A = st(l, m64(l, 61), m64(l, -1), m64(l, 60), m64(l, 0))
+    B1 = st(l, a, m64(mn, 61), m64(mx, -1), m64(mn, 60))
+    B2 = st(l, a, m64(mn, -1), m64(mx, 61), m64(mn, 0))
+    B3 = st(l, a, m64(mn, -1), m64(mn, 61), m64(mx, -1))
+    B4 = st(l, a, m64(mn, 61), m64(mn, -1), m64(mx, 61))
+    C = st(mx, m64(mx, 61), m64(mx, -1), m64(mx, 60), m64(mx, 0))
+    D = jnp.broadcast_to(jnp.array([1, 50, 18, 46, 54], jnp.int32),
+                         l.shape + (5,))
+    d_ = d[..., None]
+    B = jnp.where(d_ == 1, B1,
+                  jnp.where(d_ >= 62, B2, jnp.where(d_ == 2, B3, B4)))
+    diff = (l != a)[..., None]
+    any_ang = ((l > 1) | (a > 1))[..., None]
+    return jnp.where(((l == a) & (l > 1))[..., None], A,
+                     jnp.where(diff & any_ang & (mn > 1)[..., None], B,
+                               jnp.where(diff & any_ang, C, D)))
+
+
+def _bits_dev(cands, C, po, idx_bits, rem_bits):
+    """Mode-bit estimate for each candidate given the (.., 5) MPM list —
+    the device replica of _mpm_bits_table's per-(l, a) row construction.
+    po/idx_bits/rem_bits are host-precomputed in f64 (bit-identical
+    values to the host table); lookups are one-hot sums (a per-element
+    gather over a minor axis lowers to a scalar loop on TPU)."""
+    cm = cands[..., None] == C[..., None, :]              # (.., K, 5)
+    has = cm.any(-1)
+    fi = jnp.argmax(cm, -1)                                # first index
+    ib = jnp.sum(jnp.where(
+        fi[..., None] == jnp.arange(5), idx_bits, 0.0), -1)
+    cnt = jnp.sum(C[..., None, :] < cands[..., None], -1)
+    rem = jnp.clip(cands - 1 - cnt, 0, rem_bits.shape[0] - 1)
+    rb = jnp.sum(jnp.where(
+        rem[..., None] == jnp.arange(rem_bits.shape[0]), rem_bits,
+        0.0), -1)
+    return jnp.where(cands == 0, po, jnp.where(has, ib, rb))
+
+
+def _select_modes_dev(base, cands, nbh, nbw, top_mask, sc, mb67, po,
+                      idx_bits, rem_bits, iters=2):
+    """On-device replica of WavefrontSearch._select_modes: static-bits
+    provisional pick, then `iters` Jacobi refinements where each block's
+    MPM list is approximated from its left/above same-size neighbours'
+    picks. Combines in f32 (host combined f32 base + f64 scalar terms),
+    so f32-scale near-ties may rank differently — validated RD-neutral
+    at clip scale (results/device_select_r5.md)."""
+    F = base.shape[0]
+    mb = jnp.sum(jnp.where(cands[..., None] == jnp.arange(67), mb67,
+                           0.0), -1)
+    total = base + sc * mb
+    pick = jnp.argmin(total, axis=2)
+    mode = jnp.take_along_axis(cands, pick[..., None], 2)[..., 0]
+    for _ in range(iters):
+        g = mode.reshape(F, nbh, nbw)
+        lm = jnp.pad(g, ((0, 0), (0, 0), (1, 0)))[:, :, :nbw]
+        am = jnp.pad(g, ((0, 0), (1, 0), (0, 0)))[:, :nbh, :]
+        am = jnp.where(top_mask[None, :, None], 0, am)
+        C = _mpm_list_dev(lm.reshape(F, -1), am.reshape(F, -1))
+        bits = _bits_dev(cands, C, po, idx_bits, rem_bits)
+        total = base + sc * bits
+        pick = jnp.argmin(total, axis=2)
+        mode = jnp.take_along_axis(cands, pick[..., None], 2)[..., 0]
+    order = jnp.argsort(total, axis=2)
+    ranked = jnp.take_along_axis(cands, order, 2)
+    cost = jnp.take_along_axis(total, order, 2)
+    return ranked.astype(jnp.int8), cost[..., 0], cost[..., :2]
+
+
+def _mpm_scalar_tabs(rm, dep):
+    """Host-side f64-exact scalar tables consumed by _bits_dev (same
+    constants _mpm_bits_table bakes into its (67,67,67) cube)."""
+    po = rm.pick('planar_offset', dep, True)
+    npo = rm.pick('non_planar_offset', dep, True)
+    mio = rm.pick('mpm_idx_offset', dep, True)
+    mrm = rm.pick('mpm_remainder_mult', dep, True)
+    mro = rm.pick('mpm_remainder_offset', dep, True)
+    idx_bits = np.float32([npo + (i + mio) ** rm.mpm_idx_pow
+                           for i in range(5)])
+    rem = np.arange(66, dtype=np.float64)
+    rem_bits = (npo + mrm * (rem + mro) ** rm.mpm_remainder_pow) \
+        .astype(np.float32)
+    return np.float32(po), idx_bits, rem_bits
+
+
 @functools.lru_cache(maxsize=None)
-def _fused_luma_builder(W, H, log2_ctu, sizes, F, K, trellis=False):
+def _fused_luma_builder(W, H, log2_ctu, sizes, F, K, trellis=False,
+                        sel=False):
     """Module-level fused luma stage-A jit, shared across search instances
     and QPs (geometry is baked in; QP-dependent values are arguments)."""
     consts = {}
+    ctu = 1 << log2_ctu
     for s in sizes:
         src, fill = refs.subst_gather(W, H, s, 0, log2_ctu)
         pi, ni, keep = refs.filter121_indices(s)
-        consts[s] = (src, fill, pi, ni, keep)
+        top_mask = (np.arange(H // s) * s) % ctu == 0
+        consts[s] = (src, fill, pi, ni, keep, top_mask)
 
     @jax.jit
-    def run(planes, ls, bd, lam_dq, lv, lam, mats):
+    def run(planes, ls, bd, lam_dq, lv, lam, mats, seltabs=None):
         planes = planes.astype(jnp.int32)      # uint8 on the wire
         flat = planes.reshape(F, H * W)
         out = {}
         for s in sizes:
-            src, fill, pi, ni, keep = consts[s]
+            src, fill, pi, ni, keep, top_mask = consts[s]
             u = jnp.where(jnp.asarray(fill)[None, :, None], 128,
                           flat[:, jnp.asarray(src)])          # (F, N, L)
             L = src.shape[1]
@@ -1258,7 +1395,20 @@ def _fused_luma_builder(W, H, log2_ctu, sizes, F, K, trellis=False):
                 pred, blocks, K, ls[s], bd[s], lam_dq, lv,
                 s.bit_length() - 1, lam, trellis)
             N = src.shape[0]
-            out[s] = (cands.reshape(F, N, -1), cost.reshape(F, N, -1))
+            cands = cands.reshape(F, N, -1)
+            cost = cost.reshape(F, N, -1)
+            if sel:
+                # winner selection + MPM Jacobi refinement + ranking on
+                # device: only 18 bytes/block cross the tunnel instead
+                # of 30 (the f32 per-candidate costs were 60% of the
+                # stage-A download), and host_select work disappears
+                sc, mb67, po, idx_bits, rem_bits = seltabs
+                out[s] = _select_modes_dev(
+                    cost, cands.astype(jnp.int32), H // s, W // s,
+                    jnp.asarray(top_mask), sc, mb67, po, idx_bits,
+                    rem_bits)
+            else:
+                out[s] = (cands, cost)
         return out
 
     return run
