@@ -1104,19 +1104,25 @@ def commit_frames_device_rd(cfg, origs, all_trees, dev_planes=None):
     t0 = time.perf_counter()
     segments, n_cand = _build_schedule(cfg, all_trees)
     t1 = time.perf_counter()
-    recons, cost_map = _run_pass(cfg, origs, segments, n_cand, dev_planes)
+    has_refine = any(ph for _, _, entries in segments
+                     for ent in entries.values() for _, _, _, ph in ent)
+    # with refines pending, pass 1's plane-sized outputs are fetched
+    # lazily: if any merged leaf wins, the apply pass 2 recomputes every
+    # plane and the pass-1 fetch (recon + int16 coefficients, ~37 MB per
+    # 4K frame over the ~15 MB/s tunnel) would be dead weight
+    fin1, cost_map = _run_pass(cfg, origs, segments, n_cand, dev_planes,
+                               lazy=has_refine)
     t2 = time.perf_counter()
     if prof:
         print(f"commit pass1: sched {t1 - t0:.2f}s run+extract "
               f"{t2 - t1:.2f}s ({len(segments)} segs, "
               f"{len(set(s[0] for s in segments))} distinct)",
               file=sys.stderr, flush=True)
-    has_refine = any(ph for _, _, entries in segments
-                     for ent in entries.values() for _, _, _, ph in ent)
     if not has_refine:
-        return recons
+        return fin1
     if not _resolve_refines(cfg, all_trees, cost_map):
-        return recons
+        return fin1()
+    fin1 = None                  # free pass-1 device planes
     t3 = time.perf_counter()
     segments2, _ = _build_schedule(cfg, all_trees, apply=True)
     t4 = time.perf_counter()
@@ -1130,11 +1136,15 @@ def commit_frames_device_rd(cfg, origs, all_trees, dev_planes=None):
     return recons2
 
 
-def _run_pass(cfg, origs, segments, n_cand, dev_planes=None, apply=False):
+def _run_pass(cfg, origs, segments, n_cand, dev_planes=None, apply=False,
+              lazy=False):
     """Run one wavefront pass over a segmented schedule: launch the
     jitted rank-wavefront segments threading the plane carry, write
-    winner modes/coeffs into the (non-phantom) CU objects and return
-    ([(ry, rcb, rcr)] recon planes, {id(cu): cost})."""
+    winner costs/modes into the CU objects and return
+    ([(ry, rcb, rcr)] recon planes, {id(cu): cost}). With lazy=True the
+    first element is instead a finish() closure that performs the
+    plane-sized fetches (reconstruction + coefficient extraction) on
+    demand — call it only if this pass's planes are needed."""
     W, H = cfg.width, cfg.height
     rm = cfg.rate_model
     dep = cfg.dep_quant_enabled
@@ -1241,36 +1251,50 @@ def _run_pass(cfg, origs, segments, n_cand, dev_planes=None, apply=False):
         ys_segs.append(ys)
     fin = _carry_final(carry)
     _t1 = _time.perf_counter()
+    # costs + winner modes ride the SMALL per-segment ys arrays; the
+    # plane-sized outputs (recon uint8 + coefficient int16 — ~37 MB per
+    # 4K frame through a ~15 MB/s tunnel) are fetched by finish() only
+    # when this pass's reconstruction is actually the final one. A lazy
+    # pass 1 whose refine resolution triggers an apply pass 2 never
+    # fetches them at all (VERDICT r4 #5: 4K device host_commit was
+    # dominated by exactly these dead fetches).
     ys_segs = jax.tree_util.tree_map(np.asarray, ys_segs)
-    (ry, rcb, rcr, cyp, ccbp, ccrp) = \
-        jax.tree_util.tree_map(np.asarray, fin)
-    if _prof:
-        print(f"  run dispatch {_t1 - _t0:.2f}s device+fetch "
-              f"{_time.perf_counter() - _t1:.2f}s",
-              file=_sys.stderr, flush=True)
-    ry = ry[:F].astype(np.int32).reshape(F, H, W)
-    rcb = rcb[:F].astype(np.int32).reshape(F, H // 2, W // 2)
-    rcr = rcr[:F].astype(np.int32).reshape(F, H // 2, W // 2)
-    cyp = cyp[:F]
-    ccbp = ccbp[:F]
-    ccrp = ccrp[:F]
-
-    # vectorized per-class extraction of winner modes/coefficients from
-    # the dense planes (one fancy gather per class, then cheap
-    # assignments)
     cost_map = {}
     for (caps_t, xs, entries), ys in zip(segments, ys_segs):
-        _extract_segment(cfg, entries, xs, ys, cyp, ccbp, ccrp, cost_map)
-    return [(ry[f], rcb[f], rcr[f]) for f in range(F)], cost_map
+        _extract_costs_modes(entries, ys, cost_map)
+    if _prof:
+        print(f"  run dispatch {_t1 - _t0:.2f}s ys fetch "
+              f"{_time.perf_counter() - _t1:.2f}s",
+              file=_sys.stderr, flush=True)
+
+    def finish():
+        _t2 = _time.perf_counter()
+        (ry, rcb, rcr, cyp, ccbp, ccrp) = \
+            jax.tree_util.tree_map(np.asarray, fin)
+        if _prof:
+            print(f"  plane fetch {_time.perf_counter() - _t2:.2f}s",
+                  file=_sys.stderr, flush=True)
+        ry = ry[:F].astype(np.int32).reshape(F, H, W)
+        rcb = rcb[:F].astype(np.int32).reshape(F, H // 2, W // 2)
+        rcr = rcr[:F].astype(np.int32).reshape(F, H // 2, W // 2)
+        # vectorized per-class extraction of winner coefficients from
+        # the dense planes (one fancy gather per class, then cheap
+        # assignments)
+        for caps_t, xs, entries in segments:
+            _extract_coeffs(cfg, entries, xs, cyp[:F], ccbp[:F],
+                            ccrp[:F])
+        return [(ry[f], rcb[f], rcr[f]) for f in range(F)]
+
+    if lazy:
+        return finish, cost_map
+    return finish(), cost_map
 
 
-def _extract_segment(cfg, entries, xs, ys, cyp, ccbp, ccrp, cost_map):
-    W, H = cfg.width, cfg.height
+def _extract_costs_modes(entries, ys, cost_map):
+    """Per-CU costs and winner modes from the small per-segment ys."""
     for ck, ent in entries.items():
         tree, log2 = ck
-        s = 1 << log2
         o = ys[ck]
-        x = xs[ck]
         if not ent:
             continue
         rk = np.array([(r, k) for r, k, cu, ph in ent])
@@ -1288,6 +1312,16 @@ def _extract_segment(cfg, entries, xs, ys, cyp, ccbp, ccrp, cost_map):
             cmodes = o['cmode'][rk[:, 0], rk[:, 1]].tolist()
             for (r, k, cu, ph), m in zip(ent, cmodes):
                 cu.chroma_mode = m
+
+
+def _extract_coeffs(cfg, entries, xs, cyp, ccbp, ccrp):
+    """Winner coefficients from the dense int16 planes (one fancy
+    gather per class, then cheap assignments)."""
+    W, H = cfg.width, cfg.height
+    for ck, ent in entries.items():
+        tree, log2 = ck
+        s = 1 << log2
+        x = xs[ck]
         live = [(r, k, cu) for r, k, cu, ph in ent if not ph]
         if not live:
             continue
