@@ -504,3 +504,30 @@ def trellis_pscan_impl(t, ls, bd_shift, lam_dq, log2_n):
     q = jnp.zeros((B, (1 << log2_n) ** 2), jnp.int32)
     q = q.at[:, order].set(qf)
     return q.reshape(t.shape).astype(jnp.int16)
+
+
+# ------------------------------------------------------------------ BDPCM
+def bdpcm_dpcm(q, dir_flag):
+    """Batched forward residual DPCM on (B, n, n) quantized levels —
+    device analog of spec.quant.bdpcm_dpcm (reference dead code:
+    quantizer.rs:736-758; see the spec docstring for the in-place
+    dead-code bug there). dir_flag is static: 1 = vertical."""
+    q = q.astype(jnp.int32)
+    if dir_flag:
+        return q.at[:, 1:, :].add(-q[:, :-1, :])
+    return q.at[:, :, 1:].add(-q[:, :, :-1])
+
+
+def bdpcm_inverse(d, dir_flag):
+    """Batched inverse residual DPCM: per-step int16-clamped prefix sum
+    (quantizer.rs:868-889) via lax.scan over the DPCM axis."""
+    d = jnp.clip(d.astype(jnp.int32), -(1 << 15), (1 << 15) - 1)
+    axis = 1 if dir_flag else 2
+    dm = jnp.moveaxis(d, axis, 0)
+
+    def step(carry, row):
+        r = jnp.clip(carry + row, -(1 << 15), (1 << 15) - 1)
+        return r, r
+
+    _, rows = jax.lax.scan(step, jnp.zeros_like(dm[0]), dm)
+    return jnp.moveaxis(rows, 0, axis)

@@ -244,3 +244,50 @@ def abs_levels_from_q(q, log2_tw, log2_th):
         a_out[y, x] = a
         q_state = int(trans[q_state][a & 1])
     return a_out, s_out
+
+
+# ------------------------------------------------------------------ BDPCM
+# Residual DPCM on quantized transform-skip levels (spec 8.7.3 "BDPCM"
+# arm). The reference carries this as dead code (quantizer.rs:736-758
+# forward, :864-889 inverse; sps_bdpcm_enabled_flag is never written, so
+# neither path ever runs). Note the reference's forward pass differences
+# IN PLACE against the already-differenced neighbour, which does not
+# invert its own decoder-side prefix sum — dead-code bug. The pair here
+# is the spec-correct one: forward diffs against the ORIGINAL neighbour
+# level, inverse is the clamped running prefix sum the spec (and the
+# reference's :864-889) defines, and round-trips bit-exactly.
+
+COEFF_MIN, COEFF_MAX = -(1 << 15), (1 << 15) - 1
+
+
+def bdpcm_dpcm(q, dir_flag):
+    """Forward residual DPCM: d[0]=q[0]; d[i]=q[i]-q[i-1] along columns
+    (dir_flag=1, vertical prediction) or rows (dir_flag=0, horizontal).
+    Returns int32 diffs (a diff of two int16-range levels can exceed
+    int16; the entropy layer codes levels at int32 range)."""
+    q = np.asarray(q, dtype=np.int32)
+    d = q.copy()
+    if dir_flag:
+        d[1:, :] -= q[:-1, :]
+    else:
+        d[:, 1:] -= q[:, :-1]
+    return d
+
+
+def bdpcm_inverse(d, dir_flag):
+    """Inverse residual DPCM (quantizer.rs:868-889 discipline): running
+    prefix sum along the DPCM axis, clamped to the int16 coefficient
+    range at EVERY step (the clamp is observable only on adversarial
+    bitstreams; for any encoder-produced diff sequence the sums are the
+    original int16 levels and the clamp never binds)."""
+    d = np.asarray(d, dtype=np.int64)
+    # the reference holds levels as i16, so the seed row/column is
+    # int16-range by construction; clamp it here for the same contract
+    r = np.clip(d, COEFF_MIN, COEFF_MAX)
+    if dir_flag:
+        for y in range(1, r.shape[0]):
+            r[y, :] = np.clip(r[y - 1, :] + r[y, :], COEFF_MIN, COEFF_MAX)
+    else:
+        for x in range(1, r.shape[1]):
+            r[:, x] = np.clip(r[:, x - 1] + r[:, x], COEFF_MIN, COEFF_MAX)
+    return r.astype(np.int32)
