@@ -3151,7 +3151,15 @@ extern "C" int wrenc_decode_slice(
 // are AVAILABLE (spec 6.4.4) — unavailable extensions are never read
 // (substitution masks them), so the dependency window is the block
 // height/width alone there, which shortens the critical rank chains.
-// Phantoms rank after their own region but leave the grid untouched.
+// A normal CU ranks strictly after everything it reads:
+// max(windows, own) + 1. A PHANTOM (merged-leaf refine alternative)
+// reads only its OUTSIDE refs and its region's accumulated costs — not
+// its children's pixels — so it shares the rank of its region's last
+// contributor: max(windows + 1, own). The in-scan resolver orders
+// same-step classes 'C' < 'L' < 'S'(ascending size), which makes every
+// same-step region contributor visible before the phantom resolves.
+// Both kinds write the grid, so later readers rank after resolution —
+// with zero rank-depth inflation vs a phantom-free schedule.
 // ranks_out: (N,) int32.
 extern "C" void wrenc_cu_ranks2(const int32_t* cu_meta, int64_t n_cu, int W,
                                 int H, int32_t* ranks_out) {
@@ -3162,14 +3170,14 @@ extern "C" void wrenc_cu_ranks2(const int32_t* cu_meta, int64_t n_cu, int W,
     int x = m[0], y = m[1], s = 1 << m[2], phantom = m[3];
     int ext_l = m[4], ext_t = m[5];
     int x4 = x >> 2, y4 = y >> 2, n4 = s >> 2 ? s >> 2 : 1;
-    int r = 0;
+    int r_nb = 0, r_own = 0;
     if (x > 0) {
       int y0 = y4 - 1 < 0 ? 0 : y4 - 1;
       int yext = y4 + (ext_l ? 2 * n4 : n4);
       int y1 = yext < gh ? yext : gh;
       for (int yy = y0; yy < y1; ++yy) {
         int v = grid[(size_t)yy * gw + x4 - 1];
-        if (v > r) r = v;
+        if (v > r_nb) r_nb = v;
       }
     }
     if (y > 0) {
@@ -3178,19 +3186,24 @@ extern "C" void wrenc_cu_ranks2(const int32_t* cu_meta, int64_t n_cu, int W,
       int x1 = xext < gw ? xext : gw;
       const int32_t* row = &grid[(size_t)(y4 - 1) * gw];
       for (int xx = x0; xx < x1; ++xx)
-        if (row[xx] > r) r = row[xx];
+        if (row[xx] > r_nb) r_nb = row[xx];
     }
     for (int yy = y4; yy < y4 + n4; ++yy)
       for (int xx = x4; xx < x4 + n4; ++xx) {
         int v = grid[(size_t)yy * gw + xx];
-        if (v > r) r = v;
+        if (v > r_own) r_own = v;
       }
-    ranks_out[i] = r + 1;
-    if (phantom) continue;
+    int r;
+    if (phantom) {
+      r = r_nb + 1 > r_own ? r_nb + 1 : r_own;
+    } else {
+      r = (r_nb > r_own ? r_nb : r_own) + 1;
+    }
+    ranks_out[i] = r;
     for (int yy = y4; yy < y4 + n4; ++yy)
       for (int xx = x4; xx < x4 + n4; ++xx) {
         int32_t* c = &grid[(size_t)yy * gw + xx];
-        if (r + 1 > *c) *c = r + 1;
+        if (r > *c) *c = r;
       }
   }
 }

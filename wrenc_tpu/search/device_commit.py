@@ -224,10 +224,18 @@ def commit_frame_device(cfg, orig_planes, cus, rate_model=None):
 # and scatters reconstruction + coefficients. Covers the production
 # operating point (commit_rank_full=1, commit_rank_trellis=1,
 # commit_chroma_redecide=1, split_refine_margin>0): refine-flagged QT
-# splits are re-decided by evaluating the merged leaf as a non-scattering
-# PHANTOM entry in the same scan and comparing costs on the host; when a
-# merged leaf wins, a second pass (same executable) commits the frozen
-# tree (see commit_frames_device_rd).
+# splits are re-decided IN-SCAN (round 5) — the merged leaf rides the
+# wavefront as a PHANTOM entry ranked after its split subtree, every
+# committed CU adds (cost + header) into a per-4x4-cell cost plane in
+# the carry, and at the phantom's step the device compares the region's
+# accumulated split cost against the merged-leaf cost and conditionally
+# overwrites the region's reconstruction / mode map / coefficients
+# (scan order makes the later write win). Phantoms write the dependency
+# rank grid, so every CU that reads the region ranks after resolution
+# and decides against the RESOLVED reconstruction — the same visibility
+# the native DFS snapshot/rollback gives its sequential successors
+# (block_splitter.rs:1079-1152). This replaces the round-4 two-pass
+# scheme (host compare + full apply re-scan), halving the scan work.
 
 def _cost16384(ssd, level, mb16384, lam):
     # C++: (double)ssd + lam * ((double)(level + (int64)(mb*16384)) / 16384)
@@ -313,6 +321,7 @@ def _carry_init(W, H, F):
                 jnp.zeros((F, hw + 1), jnp.int32),
                 jnp.zeros((F, hw + 1), jnp.int32),
                 jnp.zeros((F, n4 + 1), jnp.int32),
+                jnp.zeros((F, n4 + 1), jnp.float32),
                 jnp.zeros((F, HW + 1), jnp.int16),
                 jnp.zeros((F, hw + 1), jnp.int16),
                 jnp.zeros((F, hw + 1), jnp.int16))
@@ -323,7 +332,7 @@ def _carry_init(W, H, F):
 def _carry_final(carry):
     """Fetch-side dtypes: recon uint8, coefficients int16, pad slots
     stripped — the tunnel is the bottleneck, not the device-side casts."""
-    ry, rcb, rcr, mm, cy, ccb, ccr = carry
+    ry, rcb, rcr, mm, cp, cy, ccb, ccr = carry
     return (ry[:, :-1].astype(jnp.uint8),
             rcb[:, :-1].astype(jnp.uint8),
             rcr[:, :-1].astype(jnp.uint8),
@@ -332,7 +341,7 @@ def _carry_final(carry):
 
 @functools.lru_cache(maxsize=None)
 def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
-                       apply=False):
+                       has_ph=False):
     """Jitted rank-wavefront RD commit SEGMENT. caps: tuple of
     ((tree, log2), cap) with tree in 'S' (single: luma+chroma), 'L'
     (dual luma), 'C' (SCIPU chroma). Geometry (gather/scatter/cell/mask
@@ -340,22 +349,31 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
 
     The full wavefront is split into fixed-length rank SEGMENTS, each
     compiled with ITS OWN per-class caps and threading the plane carry
-    (recon, mode map, coefficient planes) to the next segment. One
-    global cap per class pads every step to the PEAK rank occupancy —
-    at 1080p that was ~10x the mean (caps follow the wavefront ramp),
-    and padded trellis/predict work dominated the scan. Segments with
-    equal caps share one compiled executable.
+    (recon, mode map, cost plane, coefficient planes) to the next
+    segment. One global cap per class pads every step to the PEAK rank
+    occupancy — at 1080p that was ~10x the mean (caps follow the
+    wavefront ramp), and padded trellis/predict work dominated the
+    scan. Segments with equal caps share one compiled executable.
 
-    apply=True builds the cheap APPLY variant used for the post-refine
-    second pass: every CU's luma/chroma mode is already decided (n_cand
-    is 1 and the schedule carries the chosen chroma mode), so the step
-    skips candidate ranking and the 3-mode CCLM probe — it predicts the
-    chosen modes against the evolving reconstruction, runs one trellis
-    per component and scatters. Any schedule is a legal commit (the
-    stream just has to be self-consistent); re-DECIDING after a refine
-    flip is an RD nicety the full pass already paid for once."""
+    has_ph=True (any refine phantom in the whole schedule — one flag
+    for every segment so executables keep sharing) adds the in-scan
+    refine resolution: every committed CU adds (cost + header) into the
+    carried per-4x4-cell cost plane at its top-left cell; a phantom
+    ('S' classes only) compares the accumulated cost over its region
+    against its own merged-leaf cost and, when the leaf wins, scatters
+    its reconstruction / mode map / coefficients over the region —
+    overwriting the split subtree's earlier writes (scan order). With
+    phantoms in the schedule the coefficient-plane scatters also move
+    in-step (the post-segment batch cannot express a later phantom
+    overwriting an earlier child at the same plane rows)."""
     HW, hw = H * W, (H // 2) * (W // 2)
     n4 = (W >> 2) * (H >> 2)
+    # caps arrive sorted: 'C' < 'L' < 'S', sizes ascending. Phase-4
+    # iteration order is a CORRECTNESS invariant for the in-scan refine
+    # resolution: a phantom shares its rank with its region's last
+    # contributor (always a smaller class — _cu_ranks), so its region
+    # cost sum must read the same step's 'C'/smaller-'S' additions (and
+    # nested inner phantoms must resolve) before the phantom compares.
     classes = [k for k, cap in caps if cap > 0]
     capd = dict(caps)
 
@@ -423,19 +441,20 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
         return res_map
 
     def run_impl(carry_in, oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq, lv,
-                 lam, T, cclm_mb, ncc, mats):
+                 lam, T, cclm_mb, ncc, hdr3, mats):
         # planes arrive uint8 (the axon tunnel moves ~15 MB/s — every
         # transferred byte counts); all arithmetic stays int32 on device
         oy = oy.astype(jnp.int32)
         ocb = ocb.astype(jnp.int32)
         ocr = ocr.astype(jnp.int32)
-        (ry0, rcb0, rcr0, mm0, cy0, ccb0, ccr0) = carry_in
+        (ry0, rcb0, rcr0, mm0, cp0, cy0, ccb0, ccr0) = carry_in
+        hdrS, hdrL, hdrC = hdr3[0], hdr3[1], hdr3[2]
         # hoisted loop-invariant rate tables (XLA does not LICM these out
         # of the scan body reliably)
         rate_tabs = trellis_pallas.build_rate_tabs(lam_dq, lv)
 
         def step(carry, xt):
-            ry, rcb, rcr, mm = carry
+            ry, rcb, rcr, mm, cp, cy, ccb, ccr = carry
             # ---- wave A: every class' luma + derived-chroma predictions
             # against the CARRY reconstruction (same-rank CUs are never
             # neighbours, so this step's scatters cannot affect them),
@@ -484,26 +503,20 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                             vcb, mats[('c', cs)], cs), d['cl'])
                         pcr6 = _sel_modes(intra_pred.predict_all_modes_m(
                             vcr, mats[('c', cs)], cs), d['cl'])
-                        if apply:
-                            # chosen-mode chroma pred only; quantized in
-                            # wave B after the derived-vs-CCLM select
-                            d['pcb1'] = pcb6.reshape(cap, cs * cs)
-                            d['pcr1'] = pcr6.reshape(cap, cs * cs)
-                        else:
-                            o6cb = jnp.broadcast_to(
-                                d['ocb'][:, None, :],
-                                (cap, n_cand, cs * cs))
-                            o6cr = jnp.broadcast_to(
-                                d['ocr'][:, None, :],
-                                (cap, n_cand, cs * cs))
-                            d['cb'] = push(A, lgc,
-                                           pcb6.reshape(-1, cs * cs),
-                                           o6cb.reshape(-1, cs * cs),
-                                           ls_c, bd_c)
-                            d['cr'] = push(A, lgc,
-                                           pcr6.reshape(-1, cs * cs),
-                                           o6cr.reshape(-1, cs * cs),
-                                           ls_c, bd_c)
+                        o6cb = jnp.broadcast_to(
+                            d['ocb'][:, None, :],
+                            (cap, n_cand, cs * cs))
+                        o6cr = jnp.broadcast_to(
+                            d['ocr'][:, None, :],
+                            (cap, n_cand, cs * cs))
+                        d['cb'] = push(A, lgc,
+                                       pcb6.reshape(-1, cs * cs),
+                                       o6cb.reshape(-1, cs * cs),
+                                       ls_c, bd_c)
+                        d['cr'] = push(A, lgc,
+                                       pcr6.reshape(-1, cs * cs),
+                                       o6cr.reshape(-1, cs * cs),
+                                       ls_c, bd_c)
                     else:
                         # SCIPU chroma: derived from the centre child (cell
                         # index computed on device from the block index)
@@ -516,12 +529,8 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                         pcr = intra_pred.predict_modes_m(vcr, derived,
                                                          mats[('c', 4)])
                         d['derived'] = derived
-                        if apply:
-                            d['pcb1'] = pcb
-                            d['pcr1'] = pcr
-                        else:
-                            d['cb'] = push(A, 2, pcb, d['ocb'], ls_c, bd_c)
-                            d['cr'] = push(A, 2, pcr, d['ocr'], ls_c, bd_c)
+                        d['cb'] = push(A, 2, pcb, d['ocb'], ls_c, bd_c)
+                        d['cr'] = push(A, 2, pcr, d['ocr'], ls_c, bd_c)
                 pre[ck] = d
             resA = tq_all(A, lam_dq, lv, rate_tabs)
 
@@ -546,25 +555,6 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                     g = geo[(tree, log2, 0)]
                     scat, cells = g[5], g[10]
                     qy, recy, ssd, level = got(resA, d['luma'])
-                    if apply:
-                        m_win = d['cl'][:, 0]
-                        qy_w = qy.reshape(cap, -1)
-                        recy_w = recy.reshape(cap, -1)
-                        rows = jnp.where(valid[:, None],
-                                         jnp.asarray(scat)[bi], HW)
-                        ry = ry.at[bf[:, None], rows].set(recy_w)
-                        crow = jnp.where(valid[:, None],
-                                         jnp.asarray(cells)[bi], n4)
-                        mm = mm.at[bf[:, None], crow].set(
-                            jnp.broadcast_to(m_win[:, None], crow.shape))
-                        o['mode'] = m_win.astype(jnp.int8)
-                        o['qy'] = qy_w
-                        o['cost'] = jnp.zeros((cap,), jnp.float32)
-                        d['derived'] = m_win
-                        if tree == 'S':
-                            d['recy_w'] = recy_w
-                        out[ck] = o
-                        continue
                     # MPM neighbour cells derived on device from the block
                     # index (li/ai no longer uploaded with the schedule)
                     n4w = W >> 2
@@ -601,10 +591,22 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                     mm = mm.at[bf[:, None], crow].set(
                         jnp.broadcast_to(m_win[:, None], crow.shape))
                     o['mode'] = m_win.astype(jnp.int8)
-                    o['qy'] = qy_w                            # int16, device
+                    if has_ph:
+                        # in-step coefficient scatter (a later phantom
+                        # must be able to overwrite these rows in scan
+                        # order); phantom rows deferred to phase 4
+                        cy = cy.at[bf[:, None], rows].set(qy_w)
+                    else:
+                        o['qy'] = qy_w                        # int16, device
                     cost_w = _sel_win(cost_y_mat, win)
                     if tree == 'L':
                         o['cost'] = cost_w
+                        if has_ph:
+                            # L CUs cannot be phantoms; account their
+                            # cost into the cost plane here
+                            r1 = jnp.where(valid,
+                                           jnp.asarray(cells)[bi, 0], n4)
+                            cp = cp.at[bf, r1].add(cost_w + hdrL)
                     if tree == 'S':
                         d['cost_y_w'] = cost_w
                         d['qcb_w'] = _sel_win(
@@ -622,7 +624,10 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                                                  ncc, lam)
                         d['derived'] = m_win
                         d['recy_w'] = recy_w
-                elif not apply:
+                        if has_ph:
+                            d['m_win'] = m_win
+                            d['qy_w'] = qy_w
+                else:
                     qcb_w, rcb_w, scb, lcb = got(resA, d['cb'])
                     qcr_w, rcr_w, scr, lcr = got(resA, d['cr'])
                     d['qcb_w'], d['rcb_w'] = qcb_w, rcb_w
@@ -636,7 +641,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
             # (CCLM reads the CU's own just-committed luma), then one
             # merged trellis chain per chroma size (RdCommitter tail)
             Bj = {}
-            if cclm_enabled or apply:
+            if cclm_enabled:
                 # patches read the carry planes DIRECTLY: their indices
                 # are edge-clipped below HW/hw, so the trailing pad slot
                 # is unreachable — slicing it off (or stacking cb/cr)
@@ -655,63 +660,36 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                     bi = x['bi']
                     gx = jnp.asarray(gc[8])[bi]
                     gy = jnp.asarray(gc[9])[bi]
-                    need_strips = cclm_enabled
 
                     def bc(a, k, cap=cap):
                         return jnp.broadcast_to(
                             a[None], (k,) + a.shape).reshape(
                                 (k * cap,) + a.shape[1:])
 
-                    if need_strips:
-                        # the co-located luma was committed THIS step and
-                        # is still dense: only thin boundary strips touch
-                        # the planes (cclm_from_own) — the full-patch
-                        # gathers were the top per-step cost in the
-                        # round-4 profile
-                        mk = jnp.asarray(gc[7])[bi]
-                        if tree == 'S':
-                            own = d['recy_w']
-                        else:
-                            dy8 = jnp.arange(8, dtype=jnp.int32)
-                            bx8 = (bi % (W // 8)) * 8
-                            by8 = (bi // (W // 8)) * 8
-                            ridx = ((by8[:, None, None] + dy8[None, :, None])
-                                    * W + bx8[:, None, None]
-                                    + dy8[None, None, :])
-                            own = ry[bf[:, None, None], ridx]
-                        TS, LS, LC = intra_pred.cclm_strips(
-                            ry, 2 * gx, 2 * gy, cs, H, W, bf)
-                        ctb, clb = intra_pred.cclm_cstrips(
-                            rcb, gx, gy, cs, H // 2, W // 2, bf)
-                        ctr, clr = intra_pred.cclm_cstrips(
-                            rcr, gx, gy, cs, H // 2, W // 2, bf)
-                        CT2 = jnp.concatenate([ctb, ctr])
-                        CL2 = jnp.concatenate([clb, clr])
-                    if apply:
-                        # chosen chroma mode only: CCLM pred for the rows
-                        # that picked 81..83, the wave-A derived pred for
-                        # the rest, then ONE quantize per component
-                        cmode_in = x['cmode'].astype(jnp.int32)
-                        if cclm_enabled:
-                            is_c = (cmode_in >= 81)[:, None]
-                            m2 = jnp.tile(jnp.clip(cmode_in, 81, 83), 2)
-                            p2 = intra_pred.cclm_from_own(
-                                m2, bc(own, 2), bc(LC, 2), bc(TS, 2),
-                                bc(LS, 2), CT2, CL2, jnp.tile(mk, (2, 1)),
-                                jnp.tile(2 * gy, 2), cs, 1 << log2_ctu)
-                            p2 = p2.reshape(2, cap, cs * cs)
-                            pb = jnp.where(is_c, p2[0], d['pcb1'])
-                            pr = jnp.where(is_c, p2[1], d['pcr1'])
-                        else:
-                            pb, pr = d['pcb1'], d['pcr1']
-                        d['cmode_in'] = cmode_in
-                        d['ccb'] = push(Bj, lgc, pb, d['ocb'],
-                                        ls_tab[1, lgc - 2],
-                                        bd_tab[1, lgc - 2])
-                        d['ccr'] = push(Bj, lgc, pr, d['ocr'],
-                                        ls_tab[1, lgc - 2],
-                                        bd_tab[1, lgc - 2])
-                        continue
+                    # the co-located luma was committed THIS step and
+                    # is still dense: only thin boundary strips touch
+                    # the planes (cclm_from_own) — the full-patch
+                    # gathers were the top per-step cost in the
+                    # round-4 profile
+                    mk = jnp.asarray(gc[7])[bi]
+                    if tree == 'S':
+                        own = d['recy_w']
+                    else:
+                        dy8 = jnp.arange(8, dtype=jnp.int32)
+                        bx8 = (bi % (W // 8)) * 8
+                        by8 = (bi // (W // 8)) * 8
+                        ridx = ((by8[:, None, None] + dy8[None, :, None])
+                                * W + bx8[:, None, None]
+                                + dy8[None, None, :])
+                        own = ry[bf[:, None, None], ridx]
+                    TS, LS, LC = intra_pred.cclm_strips(
+                        ry, 2 * gx, 2 * gy, cs, H, W, bf)
+                    ctb, clb = intra_pred.cclm_cstrips(
+                        rcb, gx, gy, cs, H // 2, W // 2, bf)
+                    ctr, clr = intra_pred.cclm_cstrips(
+                        rcr, gx, gy, cs, H // 2, W // 2, bf)
+                    CT2 = jnp.concatenate([ctb, ctr])
+                    CL2 = jnp.concatenate([clb, clr])
                     modes6 = jnp.repeat(jnp.arange(81, 84, dtype=jnp.int32),
                                         2 * cap)
                     p6 = intra_pred.cclm_from_own(
@@ -735,7 +713,9 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                                     ls_tab[1, lgc - 2], bd_tab[1, lgc - 2])
             resB = tq_all(Bj, lam_dq, lv, rate_tabs)
 
-            # ---- phase 4: CCLM-vs-derived decision + chroma scatters
+            # ---- phase 4: CCLM-vs-derived decision + chroma scatters +
+            # in-scan refine resolution (phantom vs accumulated region
+            # cost) when the schedule carries phantoms
             for ck in classes:
                 tree, log2 = ck
                 if tree == 'L':
@@ -747,19 +727,6 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                 bf = x['bf'].astype(jnp.int32)
                 gc = geo[(tree, log2, 1)]
                 o = out[ck]
-                if apply:
-                    qcb_w, rcb_w, _, _ = got(resB, d['ccb'])
-                    qcr_w, rcr_w, _, _ = got(resB, d['ccr'])
-                    cs = d['cs']
-                    crows = jnp.where(valid[:, None],
-                                      jnp.asarray(gc[5])[bi], hw)
-                    rcb = rcb.at[bf[:, None], crows].set(rcb_w)
-                    rcr = rcr.at[bf[:, None], crows].set(rcr_w)
-                    o['cmode'] = d['cmode_in'].astype(jnp.int8)
-                    o['qcb'] = qcb_w.reshape(cap, -1)
-                    o['qcr'] = qcr_w.reshape(cap, -1)
-                    o['cost'] = jnp.zeros((cap,), jnp.float32)
-                    continue
                 derived = d['derived']
                 cost_d = d['cost_d']
                 qcb_w, rcb_w = d['qcb_w'], d['rcb_w']
@@ -782,52 +749,102 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                     qcr_w = jnp.where(use[:, None, None], qcr_c, qcr_w)
                     rcb_w = jnp.where(use[:, None], rcb_c, rcb_w)
                     rcr_w = jnp.where(use[:, None], rcr_c, rcr_w)
-                crows = jnp.where(valid[:, None],
-                                  jnp.asarray(gc[5])[bi], hw)
-                rcb = rcb.at[bf[:, None], crows].set(rcb_w)
-                rcr = rcr.at[bf[:, None], crows].set(rcr_w)
-                o['cmode'] = cmode.astype(jnp.int8)
-                o['qcb'] = qcb_w.reshape(cap, -1)             # int16, device
-                o['qcr'] = qcr_w.reshape(cap, -1)
                 # per-CU RD cost (ssd + lam*(level + mb*16384)/16384 over
                 # active components, no header constant) — the refine
                 # comparison reads these (RdCommitter::commit_cu return)
                 o['cost'] = (d['cost_y_w'] + cost_ch if tree == 'S'
                              else cost_ch)
-            return (ry, rcb, rcr, mm), out
+                do_scat = valid
+                if has_ph and tree == 'S':
+                    # merged-leaf vs accumulated-split comparison at the
+                    # phantom's own rank (the host's _resolve_refines
+                    # min, block_splitter.rs:1079-1152, moved on device;
+                    # ties keep the split like the native committer)
+                    gl = geo[(tree, log2, 0)]
+                    cells_r = jnp.asarray(gl[10])[bi]         # (cap, n4c)
+                    region = cp[bf[:, None], cells_r].sum(1)
+                    cost_leaf = o['cost'] + hdrS
+                    ph = x['ph']
+                    use_ph = ph & (region > cost_leaf)
+                    do_scat = valid | use_ph
+                    o['use'] = use_ph
+                    # deferred phantom luma scatters (recon, mode map,
+                    # coefficients) — overwrite the split subtree's
+                    # earlier writes when the leaf wins
+                    prow = jnp.where(use_ph[:, None],
+                                     jnp.asarray(gl[5])[bi], HW)
+                    ry = ry.at[bf[:, None], prow].set(d['recy_w'])
+                    cy = cy.at[bf[:, None], prow].set(d['qy_w'])
+                    pcrow = jnp.where(use_ph[:, None], cells_r, n4)
+                    mm = mm.at[bf[:, None], pcrow].set(
+                        jnp.broadcast_to(d['m_win'][:, None],
+                                         pcrow.shape))
+                    # cost plane: committed CUs add at their top-left
+                    # cell; a winning phantom resets its region to its
+                    # own leaf cost (nested refines then see the min)
+                    r1 = jnp.where(valid, cells_r[:, 0], n4)
+                    cp = cp.at[bf, r1].add(o['cost'] + hdrS)
+                    onehot0 = (jnp.arange(cells_r.shape[1],
+                                          dtype=jnp.int32) == 0)
+                    cp = cp.at[bf[:, None], pcrow].set(
+                        cost_leaf[:, None] * onehot0[None, :])
+                elif has_ph and tree == 'C':
+                    bx8 = (bi % (W // 8)) * 8
+                    by8 = (bi // (W // 8)) * 8
+                    c1 = (by8 >> 2) * (W >> 2) + (bx8 >> 2)
+                    r1 = jnp.where(valid, c1, n4)
+                    cp = cp.at[bf, r1].add(cost_ch + hdrC)
+                crows = jnp.where(do_scat[:, None],
+                                  jnp.asarray(gc[5])[bi], hw)
+                rcb = rcb.at[bf[:, None], crows].set(rcb_w)
+                rcr = rcr.at[bf[:, None], crows].set(rcr_w)
+                if has_ph:
+                    ccb = ccb.at[bf[:, None], crows].set(
+                        qcb_w.reshape(cap, -1))
+                    ccr = ccr.at[bf[:, None], crows].set(
+                        qcr_w.reshape(cap, -1))
+                else:
+                    o['qcb'] = qcb_w.reshape(cap, -1)         # int16, device
+                    o['qcr'] = qcr_w.reshape(cap, -1)
+                o['cmode'] = cmode.astype(jnp.int8)
+            return (ry, rcb, rcr, mm, cp, cy, ccb, ccr), out
 
-        carry, ys = jax.lax.scan(step, (ry0, rcb0, rcr0, mm0), xs)
-        ry, rcb, rcr, mm = carry
+        carry, ys = jax.lax.scan(
+            step, (ry0, rcb0, rcr0, mm0, cp0, cy0, ccb0, ccr0), xs)
+        ry, rcb, rcr, mm, cp, cy, ccb_d, ccr_d = carry
 
-        # ---- post-segment: ONE batched scatter per class writes the
-        # winner coefficients into the carried dense int16 planes (the
-        # scan never reads them); the stacked per-step q arrays stay
-        # device-resident and are dropped from the returned ys
-        cy, ccb_d, ccr_d = cy0, ccb0, ccr0
-        R = next(iter(xs.values()))['valid'].shape[0]
-        for ck in classes:
-            tree, log2 = ck
-            cap = capd[ck]
-            x = xs[ck]
-            o = ys[ck]
-            valid_a = x['valid'].reshape(-1)
-            bf_a = x['bf'].astype(jnp.int32).reshape(-1)
-            bi_a = x['bi'].reshape(-1)
-            if tree != 'C':
-                g = geo[(tree, log2, 0)]
-                rows = jnp.where(valid_a[:, None],
-                                 jnp.asarray(g[5])[bi_a], HW)
-                cy = cy.at[bf_a[:, None], rows].set(
-                    o.pop('qy').reshape(R * cap, -1))
-            if tree != 'L':
-                gc = geo[(tree, log2, 1)]
-                crows = jnp.where(valid_a[:, None],
-                                  jnp.asarray(gc[5])[bi_a], hw)
-                ccb_d = ccb_d.at[bf_a[:, None], crows].set(
-                    o.pop('qcb').reshape(R * cap, -1))
-                ccr_d = ccr_d.at[bf_a[:, None], crows].set(
-                    o.pop('qcr').reshape(R * cap, -1))
-        return (ry, rcb, rcr, mm, cy, ccb_d, ccr_d), ys
+        if not has_ph:
+            # ---- post-segment: ONE batched scatter per class writes the
+            # winner coefficients into the carried dense int16 planes (the
+            # scan never reads them); the stacked per-step q arrays stay
+            # device-resident and are dropped from the returned ys. With
+            # phantoms in the schedule these scatters run in-step instead
+            # (a later phantom must overwrite earlier children in scan
+            # order, which a single batched .set cannot express).
+            R = next(iter(xs.values()))['valid'].shape[0]
+            for ck in classes:
+                tree, log2 = ck
+                cap = capd[ck]
+                x = xs[ck]
+                o = ys[ck]
+                valid_a = x['valid'].reshape(-1)
+                bf_a = x['bf'].astype(jnp.int32).reshape(-1)
+                bi_a = x['bi'].reshape(-1)
+                if tree != 'C':
+                    g = geo[(tree, log2, 0)]
+                    rows = jnp.where(valid_a[:, None],
+                                     jnp.asarray(g[5])[bi_a], HW)
+                    cy = cy.at[bf_a[:, None], rows].set(
+                        o.pop('qy').reshape(R * cap, -1))
+                if tree != 'L':
+                    gc = geo[(tree, log2, 1)]
+                    crows = jnp.where(valid_a[:, None],
+                                      jnp.asarray(gc[5])[bi_a], hw)
+                    ccb_d = ccb_d.at[bf_a[:, None], crows].set(
+                        o.pop('qcb').reshape(R * cap, -1))
+                    ccr_d = ccr_d.at[bf_a[:, None], crows].set(
+                        o.pop('qcr').reshape(R * cap, -1))
+        return (ry, rcb, rcr, mm, cp, cy, ccb_d, ccr_d), ys
 
     return jax.jit(run_impl)
 
@@ -837,7 +854,8 @@ def _collect_leaf_cus(trees):
     its split subtree's CUs normally plus its merged-leaf alternative
     (alt_cu) as a PHANTOM appended after the subtree: phantoms are
     evaluated by the scan (full candidate ranking + chroma re-decision)
-    but never scatter — their cost feeds the host refine comparison."""
+    and scatter ONLY when their in-scan cost comparison picks the
+    merged leaf over the region's accumulated split cost."""
     out = []
 
     def walk(n):
@@ -857,10 +875,18 @@ def _collect_leaf_cus(trees):
 
 def _cu_ranks(cus, W, H, log2_ctu=5):
     """Dependency rank per (cu, is_phantom) over 4x4 cells
-    (WavefrontSearch._commit discipline). Phantoms rank AFTER their own
-    region's committed children (their CCLM chroma probe reads the
-    region's luma reconstruction) and leave the grid untouched — nothing
-    depends on a phantom.
+    (WavefrontSearch._commit discipline). A normal CU ranks strictly
+    after everything it reads: max(windows, own) + 1. A PHANTOM
+    (merged-leaf refine alternative) reads only its OUTSIDE reference
+    samples and its region's accumulated costs — never its children's
+    pixels — so it SHARES the rank of its region's last contributor:
+    max(windows + 1, own). The in-scan resolver's phase-4 class order
+    ('C' < 'S' ascending size; 'L' adds in phase 2) makes every
+    same-step region contribution visible before the phantom resolves.
+    Phantoms write the grid (dependents rank after resolution and read
+    the RESOLVED reconstruction — the visibility the native DFS
+    rollback gives its sequential successors) with ZERO rank-depth
+    inflation vs a phantom-free schedule.
 
     The left/above dependency windows extend to 2x the block span only
     where the below-left / above-right reference samples are AVAILABLE
@@ -895,21 +921,21 @@ def _cu_ranks(cus, W, H, log2_ctu=5):
         x4, y4, n4 = cu.x // 4, cu.y // 4, max(s // 4, 1)
         wl = 2 * n4 if ext_l[i] else n4
         wt = 2 * n4 if ext_t[i] else n4
-        r = 0
+        r_nb = 0
         if cu.x > 0:
             col = rank_grid[max(y4 - 1, 0):min(y4 + wl, H // 4), x4 - 1]
             if col.size:
-                r = max(r, int(col.max()))
+                r_nb = max(r_nb, int(col.max()))
         if cu.y > 0:
             row = rank_grid[y4 - 1, max(x4 - 1, 0):min(x4 + wt, W // 4)]
             if row.size:
-                r = max(r, int(row.max()))
+                r_nb = max(r_nb, int(row.max()))
+        r_own = 0
         own = rank_grid[y4:y4 + n4, x4:x4 + n4]
         if own.size:
-            r = max(r, int(own.max()))
-        ranks[i] = r + 1
-        if phantom:
-            continue
+            r_own = int(own.max())
+        ranks[i] = (max(r_nb + 1, r_own) if phantom
+                    else max(r_nb, r_own) + 1)
         region = rank_grid[y4:y4 + n4, x4:x4 + n4]
         rank_grid[y4:y4 + n4, x4:x4 + n4] = np.maximum(region, ranks[i])
     return ranks
@@ -919,16 +945,17 @@ _T16384_DEV = {}
 _CONST_DEV = {}
 
 
-def _build_schedule(cfg, all_trees, apply=False):
-    """Per-class padded per-rank worklists for one scan pass, split into
+def _build_schedule(cfg, all_trees):
+    """Per-class padded per-rank worklists for the scan, split into
     SEG-rank segments each with its own per-class caps (pow2-rounded, so
     segments with equal occupancy share compiled executables).
 
-    apply=True builds the post-refine APPLY schedule: one candidate (the
-    committed luma mode) per CU plus the committed chroma mode.
-    Returns (segments, n_cand) with segments a list of
+    Returns (segments, n_cand, has_ph) with segments a list of
     (caps, xs, entries); entries[ck] lists (local_step, slot, cu,
-    is_phantom)."""
+    is_phantom). has_ph is True when ANY refine phantom exists in the
+    schedule (one flag for the whole chunk, so segment executables keep
+    sharing); 'S' classes then carry an xs['ph'] mask for the in-scan
+    resolution."""
     W, H = cfg.width, cfg.height
     n4w = W >> 2
     ctu = cfg.ctu_size
@@ -955,10 +982,10 @@ def _build_schedule(cfg, all_trees, apply=False):
     R = -(-R // 64) * 64
 
     n_cand = 1
-    if not apply:
-        for ck, lst in items.items():
-            if ck[0] != 'C':
-                n_cand = max(n_cand, len(lst[0][2].cands))
+    for ck, lst in items.items():
+        if ck[0] != 'C':
+            n_cand = max(n_cand, len(lst[0][2].cands))
+    has_ph = any(e[3] for lst in items.values() for e in lst)
 
     n_seg = R // SEG
 
@@ -1008,8 +1035,8 @@ def _build_schedule(cfg, all_trees, apply=False):
                  'bi': np.zeros((SEG, cap), np.int32)}
             if tree != 'C':
                 x['cands'] = np.full((SEG, cap, n_cand), -1, np.int8)
-            if apply and tree != 'L':
-                x['cmode'] = np.zeros((SEG, cap), np.int8)
+            if has_ph and tree == 'S':
+                x['ph'] = np.zeros((SEG, cap), bool)
             r_a, k_a, f_a, ph_a, cu_l, bi_a, _sc = cls_data[ck]
             sel = (r_a // SEG) == si
             rl = r_a[sel] - si * SEG
@@ -1017,65 +1044,47 @@ def _build_schedule(cfg, all_trees, apply=False):
             x['valid'][rl, kl] = ~ph_a[sel]
             x['bf'][rl, kl] = f_a[sel]
             x['bi'][rl, kl] = bi_a[sel]
+            if has_ph and tree == 'S':
+                x['ph'][rl, kl] = ph_a[sel]
             idxs = np.nonzero(sel)[0]
             cus_s = [cu_l[i] for i in idxs]
             if tree != 'C':
-                if apply:
-                    x['cands'][rl, kl, 0] = np.fromiter(
-                        (cu.luma_mode for cu in cus_s), np.int64,
-                        len(cus_s))
-                else:
-                    cl = np.array([cu.cands for cu in cus_s], np.int8)
-                    if len(cus_s):
-                        x['cands'][rl, kl, :cl.shape[1]] = cl
-            if apply and tree != 'L':
-                x['cmode'][rl, kl] = np.fromiter(
-                    (cu.chroma_mode for cu in cus_s), np.int64, len(cus_s))
+                cl = np.array([cu.cands for cu in cus_s], np.int8)
+                if len(cus_s):
+                    x['cands'][rl, kl, :cl.shape[1]] = cl
             entries[ck] = list(zip(rl.tolist(), kl.tolist(), cus_s,
                                    ph_a[sel].tolist()))
             xs[ck] = x
         segments.append((caps_t, xs, entries))
-    return segments, n_cand
+    return segments, n_cand, has_ph
 
 
-def _resolve_refines(cfg, all_trees, cost_map):
-    """Compare merged-leaf vs split-subtree costs at every refine node
-    (bottom-up, nested refines min-combined) and rewrite the trees in
-    place to the winner — the device analog of RdCommitter::commit_tree's
-    snapshot/rollback (wrenc_native.cpp; block_splitter.rs:1079-1152).
-    Split is kept on ties like the native committer. Returns True if any
-    merged leaf won (the reconstruction then needs a second pass)."""
-    rm, dep = cfg.rate_model, cfg.dep_quant_enabled
-    lam = 2.0 ** (cfg.qp / rm.pick('qp_div', dep, True)) \
-        * rm.pick('lambda_mul', dep, True)
-    hdr = {'S': lam * rm.pick('header_bits', dep, True),
-           'L': lam * rm.pick('header_bits', dep, True) / 3.0,
-           'C': lam * rm.pick('chroma_header_bits', dep, True)}
-    any_leaf = False
-
-    def cost_of(n):
-        nonlocal any_leaf
+def _apply_refine_flags(all_trees, use_map):
+    """Rewrite every refine node to the winner the DEVICE picked in-scan
+    (use_map: id(alt_cu) -> merged leaf won). The comparison itself —
+    min(split subtree, merged leaf) with header costs, nested refines
+    bottom-up, ties keeping the split — ran on the cost plane inside the
+    scan (the device analog of RdCommitter::commit_tree's
+    snapshot/rollback; block_splitter.rs:1079-1152); the host only
+    mirrors the recorded decisions into the tree structure. An outer
+    winning leaf discards its children's (already applied) inner
+    rewrites, matching the device's later-write-wins scatter order."""
+    def walk(n):
         if getattr(n, 'refine', False):
-            cost_split = sum(cost_of(ch) for ch in n.children)
-            cost_leaf = cost_map[id(n.alt_cu)] + hdr['S']
+            for c in n.children:
+                walk(c)
             n.refine = False
-            if cost_split > cost_leaf:        # ties keep the split
-                any_leaf = True
+            if use_map.get(id(n.alt_cu), False):
                 n.split = False
                 n.cu = n.alt_cu
                 n.children = []
-                n.alt_cu = None
-                return cost_leaf
             n.alt_cu = None
-            return cost_split
-        if n.split:
-            return sum(cost_of(ch) for ch in n.children)
-        return cost_map[id(n.cu)] + hdr[n.cu.tree]
-
+        elif n.split:
+            for c in n.children:
+                walk(c)
     for trees in all_trees:
         for t in trees:
-            cost_of(t)
-    return any_leaf
+            walk(t)
 
 
 def commit_frames_device_rd(cfg, origs, all_trees, dev_planes=None):
@@ -1086,14 +1095,14 @@ def commit_frames_device_rd(cfg, origs, all_trees, dev_planes=None):
     redecide + split refinement): per CU the stage-A candidate list is
     re-ranked by full trellis RD (luma + derived chroma) with exact
     MPM-aware mode bits on the TRUE reconstruction, derived-vs-CCLM
-    chroma is re-decided, and refine-flagged QT splits are re-decided by
-    cost comparison against a merged-leaf phantom evaluation (see
-    _resolve_refines). When any merged leaf wins, a second pass commits
-    the frozen tree so the reconstruction every later CU coded against is
-    exactly what a decoder reproduces; both passes share one compiled
-    executable (the pass-2 schedule is padded to pass-1 geometry). Cost
-    comparisons run in f32 (the C++ uses f64), so rare near-ties may pick
-    a different — equally coded — winner. Updates
+    chroma is re-decided, and refine-flagged QT splits are resolved
+    IN-SCAN: the merged-leaf phantom compares its cost against the
+    region's accumulated split cost on the carried cost plane and
+    conditionally overwrites the region, so every later CU decides
+    against the RESOLVED reconstruction and the whole commit is ONE
+    scan pass (round 5; the round-4 scheme re-ran a full apply pass).
+    Cost comparisons run in f32 (the C++ uses f64), so rare near-ties
+    may pick a different — equally coded — winner. Updates
     cu.luma_mode/chroma_mode/coeffs and the tree structure in place;
     returns per-frame (ry, rcb, rcr) like commit_frames_tree_native.
     """
@@ -1102,49 +1111,28 @@ def commit_frames_device_rd(cfg, origs, all_trees, dev_planes=None):
     import time
     prof = os.environ.get('WRENC_COMMIT_PROF')
     t0 = time.perf_counter()
-    segments, n_cand = _build_schedule(cfg, all_trees)
+    segments, n_cand, has_ph = _build_schedule(cfg, all_trees)
     t1 = time.perf_counter()
-    has_refine = any(ph for _, _, entries in segments
-                     for ent in entries.values() for _, _, _, ph in ent)
-    # with refines pending, pass 1's plane-sized outputs are fetched
-    # lazily: if any merged leaf wins, the apply pass 2 recomputes every
-    # plane and the pass-1 fetch (recon + int16 coefficients, ~37 MB per
-    # 4K frame over the ~15 MB/s tunnel) would be dead weight
-    fin1, cost_map = _run_pass(cfg, origs, segments, n_cand, dev_planes,
-                               lazy=has_refine)
-    t2 = time.perf_counter()
+    recons, cost_map, use_map = _run_pass(cfg, origs, segments, n_cand,
+                                          dev_planes, has_ph)
+    if has_ph:
+        _apply_refine_flags(all_trees, use_map)
     if prof:
-        print(f"commit pass1: sched {t1 - t0:.2f}s run+extract "
-              f"{t2 - t1:.2f}s ({len(segments)} segs, "
-              f"{len(set(s[0] for s in segments))} distinct)",
+        print(f"commit: sched {t1 - t0:.2f}s run+extract "
+              f"{time.perf_counter() - t1:.2f}s ({len(segments)} segs, "
+              f"{len(set(s[0] for s in segments))} distinct, "
+              f"phantoms={'y' if has_ph else 'n'})",
               file=sys.stderr, flush=True)
-    if not has_refine:
-        return fin1
-    if not _resolve_refines(cfg, all_trees, cost_map):
-        return fin1()
-    fin1 = None                  # free pass-1 device planes
-    t3 = time.perf_counter()
-    segments2, _ = _build_schedule(cfg, all_trees, apply=True)
-    t4 = time.perf_counter()
-    recons2, _ = _run_pass(cfg, origs, segments2, 1, dev_planes,
-                           apply=True)
-    if prof:
-        print(f"commit pass2 (apply): resolve {t3 - t2:.2f}s sched "
-              f"{t4 - t3:.2f}s run+extract "
-              f"{time.perf_counter() - t4:.2f}s ({len(segments2)} segs)",
-              file=sys.stderr, flush=True)
-    return recons2
+    return recons
 
 
-def _run_pass(cfg, origs, segments, n_cand, dev_planes=None, apply=False,
-              lazy=False):
-    """Run one wavefront pass over a segmented schedule: launch the
+def _run_pass(cfg, origs, segments, n_cand, dev_planes=None,
+              has_ph=False):
+    """Run the wavefront scan over a segmented schedule: launch the
     jitted rank-wavefront segments threading the plane carry, write
     winner costs/modes into the CU objects and return
-    ([(ry, rcb, rcr)] recon planes, {id(cu): cost}). With lazy=True the
-    first element is instead a finish() closure that performs the
-    plane-sized fetches (reconstruction + coefficient extraction) on
-    demand — call it only if this pass's planes are needed."""
+    ([(ry, rcb, rcr)] recon planes, {id(cu): cost},
+    {id(alt_cu): leaf_won})."""
     W, H = cfg.width, cfg.height
     rm = cfg.rate_model
     dep = cfg.dep_quant_enabled
@@ -1181,7 +1169,9 @@ def _run_pass(cfg, origs, segments, n_cand, dev_planes=None, apply=False,
            rm.pick('non_cclm_offset', dep, True), bool(cfg.cclm_enabled),
            rm.quant_qp_div_trellis, rm.quant_lambda_mul_trellis,
            rm.quant_lambda_offset_trellis, rm.quant_lv_pow,
-           rm.lv_pow_dq_trellis, rm.lv_offset_dq_trellis)
+           rm.lv_pow_dq_trellis, rm.lv_offset_dq_trellis,
+           rm.pick('header_bits', dep, True),
+           rm.pick('chroma_header_bits', dep, True))
     if ck2 not in _CONST_DEV:
         lam = np.float32(2.0 ** (qp / rm.pick('qp_div', dep, True))
                          * rm.pick('lambda_mul', dep, True))
@@ -1191,11 +1181,17 @@ def _run_pass(cfg, origs, segments, n_cand, dev_planes=None, apply=False,
                               for i in range(3)])
         ncc = np.float32(int(rm.pick('non_cclm_offset', dep, True) * 16384.0)
                          if cfg.cclm_enabled else 0.0)
+        # per-CU header-cost constants for the in-scan refine compare
+        # (the hdr dict of the former host _resolve_refines)
+        hdr_s = float(lam) * rm.pick('header_bits', dep, True)
+        hdr3 = np.float32([hdr_s, hdr_s / 3.0,
+                           float(lam) * rm.pick('chroma_header_bits',
+                                                dep, True)])
         _CONST_DEV[ck2] = (
-            lam, jnp.asarray(cclm_mb), ncc,
+            lam, jnp.asarray(cclm_mb), ncc, jnp.asarray(hdr3),
             jnp.asarray(kq.lam_dq_table(rm, qp, trellis=True)),
             jnp.asarray(kq.lv_table_device(rm, dep, True)))
-    lam, cclm_mb, ncc, lam_dq, lv = _CONST_DEV[ck2]
+    lam, cclm_mb, ncc, hdr3, lam_dq, lv = _CONST_DEV[ck2]
 
     if dev_planes is not None:
         # device-resident uint8 planes shared with stage A (uploaded once
@@ -1245,53 +1241,48 @@ def _run_pass(cfg, origs, segments, n_cand, dev_planes=None, apply=False,
             ys_segs.append({})
             continue
         run = _rd_commit_builder(W, H, cfg.log2_ctu_size, Fp, caps_t,
-                                 n_cand, bool(cfg.cclm_enabled), apply)
+                                 n_cand, bool(cfg.cclm_enabled), has_ph)
         carry, ys = run(carry, oy, ocb, ocr, xs, ls_tab, bd_tab, lam_dq,
-                        lv, lam, T, cclm_mb, ncc, mats)
+                        lv, lam, T, cclm_mb, ncc, hdr3, mats)
         ys_segs.append(ys)
     fin = _carry_final(carry)
     _t1 = _time.perf_counter()
-    # costs + winner modes ride the SMALL per-segment ys arrays; the
-    # plane-sized outputs (recon uint8 + coefficient int16 — ~37 MB per
-    # 4K frame through a ~15 MB/s tunnel) are fetched by finish() only
-    # when this pass's reconstruction is actually the final one. A lazy
-    # pass 1 whose refine resolution triggers an apply pass 2 never
-    # fetches them at all (VERDICT r4 #5: 4K device host_commit was
-    # dominated by exactly these dead fetches).
+    # costs + winner modes + refine flags ride the SMALL per-segment ys
+    # arrays; the plane-sized outputs (recon uint8 + coefficient int16)
+    # are fetched once below
     ys_segs = jax.tree_util.tree_map(np.asarray, ys_segs)
     cost_map = {}
+    use_map = {}
     for (caps_t, xs, entries), ys in zip(segments, ys_segs):
-        _extract_costs_modes(entries, ys, cost_map)
+        _extract_costs_modes(entries, ys, cost_map, use_map)
     if _prof:
         print(f"  run dispatch {_t1 - _t0:.2f}s ys fetch "
               f"{_time.perf_counter() - _t1:.2f}s",
               file=_sys.stderr, flush=True)
 
-    def finish():
-        _t2 = _time.perf_counter()
-        (ry, rcb, rcr, cyp, ccbp, ccrp) = \
-            jax.tree_util.tree_map(np.asarray, fin)
-        if _prof:
-            print(f"  plane fetch {_time.perf_counter() - _t2:.2f}s",
-                  file=_sys.stderr, flush=True)
-        ry = ry[:F].astype(np.int32).reshape(F, H, W)
-        rcb = rcb[:F].astype(np.int32).reshape(F, H // 2, W // 2)
-        rcr = rcr[:F].astype(np.int32).reshape(F, H // 2, W // 2)
-        # vectorized per-class extraction of winner coefficients from
-        # the dense planes (one fancy gather per class, then cheap
-        # assignments)
-        for caps_t, xs, entries in segments:
-            _extract_coeffs(cfg, entries, xs, cyp[:F], ccbp[:F],
-                            ccrp[:F])
-        return [(ry[f], rcb[f], rcr[f]) for f in range(F)]
-
-    if lazy:
-        return finish, cost_map
-    return finish(), cost_map
+    _t2 = _time.perf_counter()
+    (ry, rcb, rcr, cyp, ccbp, ccrp) = \
+        jax.tree_util.tree_map(np.asarray, fin)
+    if _prof:
+        print(f"  plane fetch {_time.perf_counter() - _t2:.2f}s",
+              file=_sys.stderr, flush=True)
+    ry = ry[:F].astype(np.int32).reshape(F, H, W)
+    rcb = rcb[:F].astype(np.int32).reshape(F, H // 2, W // 2)
+    rcr = rcr[:F].astype(np.int32).reshape(F, H // 2, W // 2)
+    # vectorized per-class extraction of winner coefficients from
+    # the dense planes (one fancy gather per class, then cheap
+    # assignments); losing phantoms are skipped, winning phantoms ARE
+    # the final leaves
+    for caps_t, xs, entries in segments:
+        _extract_coeffs(cfg, entries, xs, cyp[:F], ccbp[:F],
+                        ccrp[:F], use_map)
+    return ([(ry[f], rcb[f], rcr[f]) for f in range(F)], cost_map,
+            use_map)
 
 
-def _extract_costs_modes(entries, ys, cost_map):
-    """Per-CU costs and winner modes from the small per-segment ys."""
+def _extract_costs_modes(entries, ys, cost_map, use_map):
+    """Per-CU costs, winner modes and refine flags from the small
+    per-segment ys."""
     for ck, ent in entries.items():
         tree, log2 = ck
         o = ys[ck]
@@ -1302,8 +1293,8 @@ def _extract_costs_modes(entries, ys, cost_map):
         for (r, k, cu, ph), c in zip(ent, costs):
             cost_map[id(cu)] = c
         # modes are written for phantoms too: a refine-flipped merged
-        # leaf then commits the modes its phantom evaluation ranked best
-        # (the apply second pass reads them from the CU)
+        # leaf becomes the final CU with the modes its phantom
+        # evaluation ranked best
         if tree != 'C':
             modes = o['mode'][rk[:, 0], rk[:, 1]].tolist()
             for (r, k, cu, ph), m in zip(ent, modes):
@@ -1312,17 +1303,25 @@ def _extract_costs_modes(entries, ys, cost_map):
             cmodes = o['cmode'][rk[:, 0], rk[:, 1]].tolist()
             for (r, k, cu, ph), m in zip(ent, cmodes):
                 cu.chroma_mode = m
+        if 'use' in o:
+            uses = o['use'][rk[:, 0], rk[:, 1]].tolist()
+            for (r, k, cu, ph), u in zip(ent, uses):
+                if ph:
+                    use_map[id(cu)] = bool(u)
 
 
-def _extract_coeffs(cfg, entries, xs, cyp, ccbp, ccrp):
+def _extract_coeffs(cfg, entries, xs, cyp, ccbp, ccrp, use_map):
     """Winner coefficients from the dense int16 planes (one fancy
-    gather per class, then cheap assignments)."""
+    gather per class, then cheap assignments). Losing phantoms carry no
+    plane data (their scatters went to the pad slot); winning phantoms
+    are the region's final leaves and extract like committed CUs."""
     W, H = cfg.width, cfg.height
     for ck, ent in entries.items():
         tree, log2 = ck
         s = 1 << log2
         x = xs[ck]
-        live = [(r, k, cu) for r, k, cu, ph in ent if not ph]
+        live = [(r, k, cu) for r, k, cu, ph in ent
+                if (not ph) or use_map.get(id(cu), False)]
         if not live:
             continue
         rr = np.array([e[0] for e in live])

@@ -72,9 +72,11 @@ def main(argv=None):
             for engine in ("native", "device"):
                 stream, recons, dt, phases = _encode(cfg_kw, frames, engine)
                 streams[engine] = (stream, recons)
+                psnr = float(np.mean([frame_psnr_avg(r, d)["Avg"]
+                                      for r, d in zip(frames, recons)]))
                 row[engine] = {
                     "bytes": len(stream),
-                    "psnr": round(frame_psnr_avg(frames, recons), 4),
+                    "psnr": round(psnr, 4),
                     "time_s": round(dt, 2),
                     "phases": {k: round(v, 3) for k, v in phases.items()},
                 }
