@@ -54,6 +54,17 @@ class WavefrontSearch:
         self.mesh = mesh
         self.rm = cfg.rate_model
         self.trellis_commit = trellis_commit
+        # commit engine default: 'native' at every geometry (round-5
+        # measurements on the real chip, one-pass in-scan device engine,
+        # all engine pairs byte-identical at clip scale —
+        # results/engine_ab.json). The device scan closed most of the
+        # gap this round but the refreshed native pipeline (fused device
+        # chroma + on-device selection feeding the threaded C++
+        # committer) still wins everywhere: CIF 4.4 vs 1.57 fps
+        # (per-step XLA op overhead x ~1100 ranks), 1080p 0.350 vs
+        # 0.324 (results/1080p.json vs 1080p_device.json), 4K 0.134 vs
+        # 0.079 (padded per-rank caps make the scan compute-bound).
+        # Override with WRENC_COMMIT_ENGINE=device.
         self.commit_engine = commit_engine or os.environ.get(
             'WRENC_COMMIT_ENGINE', 'native')
         # re-decide modes at commit time on the true reconstruction
