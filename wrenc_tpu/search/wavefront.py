@@ -161,8 +161,25 @@ class WavefrontSearch:
     # large as stage-A working memory allows
     DEVICE_BATCH_BUCKETS = (1, 2, 4, 8, 16)
     DEVICE_CHUNK_PIXEL_BUDGET = 9_000_000
-    # frames per commit SCAN (stage-A sub-batches are grouped up to this)
-    DEVICE_COMMIT_FRAMES = 16
+
+    def _commit_group_frames(self):
+        """Frames per commit SCAN (env WRENC_COMMIT_GROUP overrides).
+
+        The rank count is frame-independent, so a larger group divides
+        the scan's per-step cost over more frames — but only while the
+        steps are op-count-floor-bound. Measured on the real chip
+        (round 5): CIF 16/32/64-frame groups run 8.0/8.7/8.6 s scans
+        (1.57 -> 2.46 -> 3.51 fps); at 1080p the 16-frame group is
+        PATHOLOGICAL (520 ms/step vs 10 ms at 4 frames — peak-cap
+        padding and per-step scatter traffic grow superlinearly with
+        the batched wavefront, results/1080p_device16.json), so
+        1080p+ keeps the 4-frame group that measured best."""
+        import os
+        env = int(os.environ.get('WRENC_COMMIT_GROUP', 0))
+        if env:
+            return env
+        px = self.cfg.width * self.cfg.height
+        return 64 if px <= 524_288 else 4
 
     def _buckets(self):
         px = self.cfg.width * self.cfg.height
@@ -181,7 +198,7 @@ class WavefrontSearch:
         commit of chunk k additionally runs in a worker thread (ctypes /
         device calls release the GIL) under chunk k+1's Python decide
         phase. The device commit engine groups SEVERAL stage-A
-        sub-batches into one commit scan (DEVICE_COMMIT_FRAMES): the
+        sub-batches into one commit scan (_commit_group_frames): the
         rank-wavefront's step count is per-frame-independent, so a
         larger frame batch amortizes the per-step kernel overhead that
         sets the scan's wall time. Returns [(trees, recon), ...]."""
@@ -190,8 +207,9 @@ class WavefrontSearch:
         max_b = self._buckets()[-1]
         chunks = [frames[i:i + max_b] for i in range(0, len(frames), max_b)]
         group_n = 1
-        if self._device_commit and max_b < self.DEVICE_COMMIT_FRAMES:
-            group_n = max(1, self.DEVICE_COMMIT_FRAMES // max_b)
+        commit_frames = self._commit_group_frames()
+        if self._device_commit and max_b < commit_frames:
+            group_n = max(1, commit_frames // max_b)
         pending = self._dispatch_stage_a(chunks[0])
         from ..entropy import native
         overlap = (len(chunks) > 1
