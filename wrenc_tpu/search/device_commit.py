@@ -600,7 +600,6 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                         o['qy'] = qy_w                        # int16, device
                     cost_w = _sel_win(cost_y_mat, win)
                     if tree == 'L':
-                        o['cost'] = cost_w
                         if has_ph:
                             # L CUs cannot be phantoms; account their
                             # cost into the cost plane here
@@ -750,10 +749,12 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                     rcb_w = jnp.where(use[:, None], rcb_c, rcb_w)
                     rcr_w = jnp.where(use[:, None], rcr_c, rcr_w)
                 # per-CU RD cost (ssd + lam*(level + mb*16384)/16384 over
-                # active components, no header constant) — the refine
-                # comparison reads these (RdCommitter::commit_cu return)
-                o['cost'] = (d['cost_y_w'] + cost_ch if tree == 'S'
-                             else cost_ch)
+                # active components, no header constant) — consumed
+                # IN-SCAN by the cost plane + refine compare; not
+                # fetched (it was ~6 MB of dead tunnel traffic per
+                # 64-frame chunk)
+                cost_cu = (d['cost_y_w'] + cost_ch if tree == 'S'
+                           else cost_ch)
                 do_scat = valid
                 if has_ph and tree == 'S':
                     # merged-leaf vs accumulated-split comparison at the
@@ -763,7 +764,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                     gl = geo[(tree, log2, 0)]
                     cells_r = jnp.asarray(gl[10])[bi]         # (cap, n4c)
                     region = cp[bf[:, None], cells_r].sum(1)
-                    cost_leaf = o['cost'] + hdrS
+                    cost_leaf = cost_cu + hdrS
                     ph = x['ph']
                     use_ph = ph & (region > cost_leaf)
                     do_scat = valid | use_ph
@@ -783,7 +784,7 @@ def _rd_commit_builder(W, H, log2_ctu, F, caps, n_cand, cclm_enabled,
                     # cell; a winning phantom resets its region to its
                     # own leaf cost (nested refines then see the min)
                     r1 = jnp.where(valid, cells_r[:, 0], n4)
-                    cp = cp.at[bf, r1].add(o['cost'] + hdrS)
+                    cp = cp.at[bf, r1].add(cost_cu + hdrS)
                     onehot0 = (jnp.arange(cells_r.shape[1],
                                           dtype=jnp.int32) == 0)
                     cp = cp.at[bf[:, None], pcrow].set(
@@ -1113,8 +1114,8 @@ def commit_frames_device_rd(cfg, origs, all_trees, dev_planes=None):
     t0 = time.perf_counter()
     segments, n_cand, has_ph = _build_schedule(cfg, all_trees)
     t1 = time.perf_counter()
-    recons, cost_map, use_map = _run_pass(cfg, origs, segments, n_cand,
-                                          dev_planes, has_ph)
+    recons, use_map = _run_pass(cfg, origs, segments, n_cand,
+                                dev_planes, has_ph)
     if has_ph:
         _apply_refine_flags(all_trees, use_map)
     if prof:
@@ -1131,8 +1132,7 @@ def _run_pass(cfg, origs, segments, n_cand, dev_planes=None,
     """Run the wavefront scan over a segmented schedule: launch the
     jitted rank-wavefront segments threading the plane carry, write
     winner costs/modes into the CU objects and return
-    ([(ry, rcb, rcr)] recon planes, {id(cu): cost},
-    {id(alt_cu): leaf_won})."""
+    ([(ry, rcb, rcr)] recon planes, {id(alt_cu): leaf_won})."""
     W, H = cfg.width, cfg.height
     rm = cfg.rate_model
     dep = cfg.dep_quant_enabled
@@ -1251,10 +1251,9 @@ def _run_pass(cfg, origs, segments, n_cand, dev_planes=None,
     # arrays; the plane-sized outputs (recon uint8 + coefficient int16)
     # are fetched once below
     ys_segs = jax.tree_util.tree_map(np.asarray, ys_segs)
-    cost_map = {}
     use_map = {}
     for (caps_t, xs, entries), ys in zip(segments, ys_segs):
-        _extract_costs_modes(entries, ys, cost_map, use_map)
+        _extract_costs_modes(entries, ys, use_map)
     if _prof:
         print(f"  run dispatch {_t1 - _t0:.2f}s ys fetch "
               f"{_time.perf_counter() - _t1:.2f}s",
@@ -1276,22 +1275,19 @@ def _run_pass(cfg, origs, segments, n_cand, dev_planes=None,
     for caps_t, xs, entries in segments:
         _extract_coeffs(cfg, entries, xs, cyp[:F], ccbp[:F],
                         ccrp[:F], use_map)
-    return ([(ry[f], rcb[f], rcr[f]) for f in range(F)], cost_map,
-            use_map)
+    return ([(ry[f], rcb[f], rcr[f]) for f in range(F)], use_map)
 
 
-def _extract_costs_modes(entries, ys, cost_map, use_map):
-    """Per-CU costs, winner modes and refine flags from the small
-    per-segment ys."""
+def _extract_costs_modes(entries, ys, use_map):
+    """Winner modes and refine flags from the small per-segment ys.
+    (Per-CU costs stay on device — the in-scan refine resolution is
+    their only consumer since round 5.)"""
     for ck, ent in entries.items():
         tree, log2 = ck
         o = ys[ck]
         if not ent:
             continue
         rk = np.array([(r, k) for r, k, cu, ph in ent])
-        costs = o['cost'][rk[:, 0], rk[:, 1]].tolist()
-        for (r, k, cu, ph), c in zip(ent, costs):
-            cost_map[id(cu)] = c
         # modes are written for phantoms too: a refine-flipped merged
         # leaf becomes the final CU with the modes its phantom
         # evaluation ranked best
