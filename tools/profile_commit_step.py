@@ -51,21 +51,29 @@ def main():
     xs = xplane_pb2.XSpace()
     with open(paths[-1], 'rb') as f:
         xs.ParseFromString(f.read())
+    # layout (verified on the axon vm.xplane.pb): the device plane is
+    # named '/device:TPU:0' and holds the 'XLA Ops' line (the compute
+    # self-time line; the 'Async XLA Ops' line overcounts overlapped
+    # copy-starts — CLAUDE.md profiling recipe)
     for plane in xs.planes:
-        if 'XLA Ops' not in plane.name:
+        if 'TPU' not in plane.name:
             continue
         evm = {m.id: m.name for m in plane.event_metadata.values()}
         tot = collections.Counter()
         cnt = collections.Counter()
         for line in plane.lines:
+            if line.name != 'XLA Ops':
+                continue
             for ev in line.events:
                 name = evm.get(ev.metadata_id, '?')
                 if name.startswith('%while'):
                     continue
                 tot[name] += ev.duration_ps / 1e12
                 cnt[name] += 1
+        if not cnt:
+            continue
         total = sum(tot.values())
-        print(f"plane: {plane.name}  total self-time {total:.3f}s  "
+        print(f"plane: {plane.name}  'XLA Ops' self-time {total:.3f}s  "
               f"events {sum(cnt.values())}")
         # group by op family (strip %fusion.123 -> fusion etc.)
         fam_t = collections.Counter()
